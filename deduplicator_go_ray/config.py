@@ -1,0 +1,146 @@
+"""Configuration dataclasses for the dedup engine.
+
+The reference configures itself through INI/env (``main.go:190-370``)
+and CLI flags (``files/types.go:10-69``); here every pipeline stage is
+parameterised by explicit dataclasses so runs are reproducible and the
+signature config (shingle size, num_perms, bands×rows) is pinned — the
+recall target is defined *at a fixed signature config* (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """128-perm MinHash over character shingles.
+
+    ``num_perms`` must equal ``bands * rows`` (LSH banding invariant).
+    Defaults: b=32, r=4 → LSH threshold (1/b)^(1/r) ≈ 0.42, which
+    catches the planted near-dup classes (Jaccard ≥ 0.70) with
+    probability ~1 while ``verify_threshold`` rejects boilerplate-only
+    collisions (Jaccard ≈ 0.1-0.3).
+    """
+
+    shingle_k: int = 9           # bytes per character shingle (utf-8)
+    num_perms: int = 128
+    bands: int = 32
+    rows: int = 4
+    seed: int = 42
+    # signature-estimated Jaccard needed to keep a candidate edge.
+    # near-dup-high pairs are planted at J ≥ 0.92; estimator std at
+    # J=0.92 with 128 perms is ~0.024, so 0.80 keeps them with
+    # P(miss) < 1e-5 while dropping boilerplate collisions (J ≈ 0.2).
+    verify_threshold: float = 0.80
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_perms:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) != num_perms ({self.num_perms})"
+            )
+
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    """64-bit SimHash over word-token features; Hamming ≤ k = near-dup."""
+
+    hamming_threshold: int = 3
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class SubstringConfig:
+    """Winnowing-style anchors for the long-exact-substring pass.
+
+    A document shorter than ``min_len`` is never a substring-dup
+    candidate; anchors are rolling hashes of ``window`` bytes sampled
+    where ``hash % modulus == 0`` (expected density 1/modulus).
+    """
+
+    window: int = 48
+    modulus: int = 16
+    min_len: int = 200
+    min_shared_anchors: int = 2
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """Shuffle/skew policy for the band-bucket groupby (SURVEY.md §4:
+    hot-band skew is the web-scale risk; the north rule names explicit
+    salting/repartitioning).
+
+    * groups ≤ ``clique_cap``: emit all pairs (complete subgraph).
+    * groups ≤ ``group_cap``: emit sorted-consecutive chain edges plus
+      a star to the group minimum — connectivity-preserving, O(g).
+    * groups > ``group_cap`` (hot bands, e.g. shared boilerplate): the
+      groupby key is salted with ``hash(url) % num_salts`` so no single
+      reducer materialises the giant bucket; each salted sub-bucket
+      emits chain edges only.  Recall for genuine near-dups is carried
+      by their ~31 other (non-hot) bands; the tradeoff is logged in the
+      stage metrics.
+    """
+
+    clique_cap: int = 16
+    group_cap: int = 512
+    num_salts: int = 16
+
+
+@dataclass(frozen=True)
+class KeeperPolicy:
+    """Keeper-selection policy for resolved duplicate clusters.
+
+    Mirrors the reference's three policies (SURVEY.md §2.7):
+
+    * ``deterministic`` — keeper = min(sort key) of the group, a pure
+      function of group content so every worker / any partitioning
+      reaches the same decision with no coordination
+      (``files/move.go:226-236``).  Sort key here is ``url``.
+    * ``site_popularity`` — keep the member whose site (url host) has
+      the most members in the group, tiebreak min url — the web
+      analogue of "most-populated parent dir keeps the file"
+      (``files/dedupe.go:123-240``).
+    * ``priority_limits`` — rank members by (priority, url) where
+      priority comes from ``site_priority`` (lower = keep first), keep
+      ``min_copies``, and when ``respect_max`` also trim to
+      ``max_copies`` (``files/group_dedup.go:258-339``,
+      ``migrations/000005_add_path_groups.up.sql``).
+    """
+
+    policy: str = "deterministic"
+    min_copies: int = 1
+    max_copies: int | None = None
+    respect_max: bool = False
+    site_priority: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.policy not in ("deterministic", "site_popularity", "priority_limits"):
+            raise ValueError(f"unknown keeper policy {self.policy!r}")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end dedup pipeline configuration."""
+
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    simhash: SimHashConfig = field(default_factory=SimHashConfig)
+    substring: SubstringConfig = field(default_factory=SubstringConfig)
+    lsh: LSHConfig = field(default_factory=LSHConfig)
+    keeper: KeeperPolicy = field(default_factory=KeeperPolicy)
+    # reference min-size predicate (files/utils.go:77-81): groups whose
+    # content is smaller than this never count as duplicates.
+    min_size: int = 0
+    # candidate pruning à la `hash only duplicate sizes`
+    # (files/hash.go:37-48): compute near-dup signatures only for
+    # exact-class representatives (always on) — and optionally hash
+    # only size-duplicate candidates.
+    prune_by_size: bool = False
+    # signature stage sizing: html/text rows are wide — keep batches
+    # small (SURVEY.md §4 memory row).
+    signature_batch_size: int = 256
+    signature_concurrency: int | tuple[int, int] = (1, 8)
+    # edges below this count resolve with a driver-side DSU; above it
+    # the distributed label-propagation path runs (SURVEY.md §7.4).
+    driver_dsu_max_edges: int = 5_000_000
+    run_substring_pass: bool = True
+    run_simhash: bool = True

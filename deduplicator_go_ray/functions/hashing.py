@@ -1,0 +1,121 @@
+"""Deterministic 64-bit hash kernels (numpy, vectorized).
+
+These replace the reference's single content hash — streaming SHA-256
+(``files/files.go:18-156``) — with the family of hashes the near-dup
+signatures need: a splitmix64-style mixer for uniformity, rolling
+polynomial shingle hashes, and plain SHA-256/MD5 for exact identity.
+All arithmetic is uint64 with natural wraparound (mod 2^64); every
+constant is fixed so results are identical across runs, batch sizes and
+partitionings (the determinism invariant of ``files/move.go:226-236``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MIX_MUL1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_MUL2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+# numpy deliberately warns on uint64 overflow in some paths; wraparound
+# is the semantics we want, so compute under errstate where needed.
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bijective uniform mixer on uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _MIX_MUL1
+    x ^= x >> np.uint64(27)
+    x *= _MIX_MUL2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hash64_str(values: list[str] | np.ndarray, seed: int = 0) -> np.ndarray:
+    """Stable 64-bit hash of each string (first 8 bytes of blake2b)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    sd = seed.to_bytes(8, "little")
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(v.encode("utf-8"), digest_size=8, salt=sd).digest()
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def sha256_hex(texts: list[str]) -> list[str]:
+    """Hex SHA-256 per string (≙ calculateFileHash, files/files.go:76-156)."""
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def md5_hex(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+_ROLL_BASE = 1000000007
+# modular inverse of the base mod 2^64 (base is odd → invertible);
+# precomputed once so window hashes come out of an O(n) prefix scheme.
+_ROLL_BASE_INV = pow(_ROLL_BASE, -1, 1 << 64)
+
+# per-process cache of (pows, invpows) tables, grown geometrically —
+# they depend only on `base`, so repeated per-document calls reuse them.
+_POWER_CACHE: dict[int, tuple] = {}
+
+
+def _power_tables(base: int, m: int):
+    """pows[i]=base^i, invpows[i]=base^(-i) (mod 2^64), length ≥ m.
+
+    cumprod runs on int64 (numpy's uint64 cumprod falls into a slow
+    path); mod-2^64 multiplication is bit-identical between the views.
+    """
+    cached = _POWER_CACHE.get(base)
+    if cached is not None and cached[0].size >= m:
+        return cached[0][:m], cached[1][:m]
+    cap = max(m, 1 << 16)
+    if cached is not None:
+        cap = max(cap, cached[0].size * 2)
+    binv = _ROLL_BASE_INV if base == _ROLL_BASE else pow(base, -1, 1 << 64)
+    pows = np.empty(cap, dtype=np.int64)
+    invpows = np.empty(cap, dtype=np.int64)
+    pows[0] = 1
+    invpows[0] = 1
+    np.cumprod(np.full(cap - 1, base, dtype=np.int64), out=pows[1:])
+    np.cumprod(np.full(cap - 1, np.int64(binv - (1 << 64) if binv >= 1 << 63 else binv),
+                       dtype=np.int64), out=invpows[1:])
+    out = (pows.view(np.uint64), invpows.view(np.uint64))
+    _POWER_CACHE[base] = out
+    return out[0][:m], out[1][:m]
+
+
+def rolling_hashes(data: bytes, k: int, base: int = _ROLL_BASE) -> np.ndarray:
+    """All k-byte-window polynomial hashes of `data` (mod 2^64), O(n).
+
+    h[i] = sum_{j<k} data[i+j] * base^(k-1-j)  computed via prefix sums:
+    with T[i] = sum_{j<=i} b[j]*base^(-j), the window hash is
+    base^(i+k-1) * (T[i+k-1] - T[i-1]) — every term a vectorized uint64
+    op with natural mod-2^64 wraparound.  Finalized through mix64 so
+    structured inputs still spread uniformly.  Empty when len(data) < k.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = arr.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    pows, invpows = _power_tables(base, arr.size)
+    t = np.cumsum(arr * invpows, dtype=np.uint64)          # T[i]
+    diff = t[k - 1 :].copy()
+    diff[1:] -= t[: n - 1]
+    return mix64(pows[k - 1 :] * diff)
+
+
+def combine64(parts: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Order-dependent fold of uint64 values along `axis` into one u64.
+
+    Used to collapse an LSH band's r MinHash values into the band key.
+    """
+    parts = parts.astype(np.uint64, copy=False)
+    acc = np.zeros(parts.shape[:axis] + parts.shape[axis + 1 :] if axis != -1 else parts.shape[:-1], dtype=np.uint64)
+    moved = np.moveaxis(parts, axis, -1)
+    for j in range(moved.shape[-1]):
+        acc = mix64(acc * _GOLDEN + moved[..., j] + np.uint64(j + 1))
+    return acc

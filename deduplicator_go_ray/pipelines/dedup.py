@@ -1,0 +1,255 @@
+"""The flagship end-to-end dedup pipeline (SURVEY.md §3.4 DAG):
+
+    read_parquet(pages)
+      → map_batches(ExtractStage, actor pool)         # M1/ST1
+      → add_content_key (sha256 + n_bytes)            # hash stage
+      → groupby(exact key).map_groups(assign_rep)     # A1/D1  [shuffle 1]
+      → reps → map_batches(SignatureStage, actor pool)# ST1
+      → LSH bands [+salt] → candidate edges           # [shuffle 2,3]
+      → + SimHash chunk edges, + substring anchors    # [shuffle 4,5]
+      → verify (signature Jaccard / containment)      # joins
+      → connected components                          # cluster merge
+      → propagate rep cluster → members               # join
+      → groupby(cluster).map_groups(keeper policy)    # D2-D4 [shuffle 6]
+      → assignments (+ error rows re-unioned)
+
+Every per-group decision is a pure function of group content, so the
+assignment set is identical at any parallelism — the reference's
+coordination-free determinism invariant (files/move.go:226-236),
+validated by the N-vs-4N scaling protocol (BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import PipelineConfig
+from ..functions.hashing import hash64_str
+from ..stages.cluster import resolve_components
+from ..stages.common import dedupe_rows, grouped_apply
+from ..stages.exact import add_content_key, assign_exact_groups
+from ..stages.extract import ExtractStage
+from ..stages.keeper import select_keepers
+from ..stages.lsh import band_rows, candidate_edges, hot_band_keys, salt_bands, simhash_edges, verify_edges
+from ..stages.signatures import SignatureStage
+from ..stages.joins import left_attach
+from ..stages.substring import anchor_rows, candidate_pairs, verify_containment
+
+_EMPTY_EDGES = pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+
+_EMPTY_ASSIGN = pa.table({
+    "url": pa.array([], pa.string()),
+    "cluster_id": pa.array([], pa.string()),
+    "keeper_url": pa.array([], pa.string()),
+    "is_keeper": pa.array([], pa.bool_()),
+    "action": pa.array([], pa.string()),
+    "match_kind": pa.array([], pa.string()),
+    "n_bytes": pa.array([], pa.int64()),
+})
+
+
+def _cluster_id_of(url: str) -> str:
+    return hashlib.md5(url.encode("utf-8")).hexdigest()[:16]
+
+
+def run_dedup(
+    pages: "ray.data.Dataset",
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """pages (url, warc_ts, html, text?, lang) → assignments Dataset
+    (ASSIGNMENTS_SCHEMA).  Streaming end-to-end except the small edge /
+    cluster intermediates, which are materialized (they are orders of
+    magnitude smaller than the corpus after exact collapse)."""
+    cfg = cfg or PipelineConfig()
+
+    # ---- extract + hash ----------------------------------------------------
+    extracted = pages.map_batches(
+        ExtractStage,
+        batch_format="pyarrow",
+        batch_size=cfg.signature_batch_size,
+        concurrency=cfg.signature_concurrency,
+    )
+    hashed = add_content_key(extracted)
+    # ≙ every reference dup query excluding sentinel rows (files/utils.go:72)
+    ok = hashed.map_batches(
+        lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
+    err = hashed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["error"])), batch_format="pyarrow")
+
+    if cfg.min_size:
+        # ≙ --min-size predicate (files/utils.go:77-81): tiny docs are
+        # never dup candidates but still flow through as uniques.
+        small = ok.filter(expr=f"n_bytes < {int(cfg.min_size)}")
+        ok = ok.filter(expr=f"n_bytes >= {int(cfg.min_size)}")
+    else:
+        small = None
+
+    # ---- exact dedup (shuffle on content key) ------------------------------
+    members = assign_exact_groups(ok).materialize()
+    if members.count() == 0:
+        # empty / all-error corpus: only sentinel rows flow through
+        assignments = ray.data.from_arrow(_EMPTY_ASSIGN)
+        return _finish(assignments, err, small, num_partitions)
+    reps = members.map_batches(
+        lambda t: t.filter(t["is_rep"]), batch_format="pyarrow")
+
+    # ---- signatures on representatives only (candidate pruning §7.0) -------
+    sigs = reps.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={
+            "minhash": cfg.minhash,
+            "simhash": cfg.simhash,
+            "substring": cfg.substring,
+            "compute_anchors": cfg.run_substring_pass,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.signature_batch_size,
+        concurrency=cfg.signature_concurrency,
+    ).materialize()
+
+    # ---- candidate edges ---------------------------------------------------
+    bands = band_rows(sigs, cfg.minhash)
+    hot = hot_band_keys(bands, cfg.lsh)
+    salted = salt_bands(bands, hot, cfg.lsh)
+    lsh_cand = candidate_edges(salted, cfg.lsh)
+    cands = [lsh_cand]
+    if cfg.run_simhash:
+        cands.append(simhash_edges(sigs, cfg.simhash.hamming_threshold))
+    cand = cands[0].union(*cands[1:]) if len(cands) > 1 else cands[0]
+    cand = dedupe_rows(cand, ["u", "v"]).materialize()
+
+    # empty candidate sets lose their schema through the shuffle — guard
+    # the joins (≙ the reference's zero-dup early exits)
+    if cand.count() == 0:
+        verified = ray.data.from_arrow(_EMPTY_EDGES)
+    else:
+        verified = verify_edges(cand, sigs, cfg.minhash, num_partitions).select_columns(["u", "v"])
+
+    edge_sets = [verified]
+    if cfg.run_substring_pass:
+        anchors = anchor_rows(sigs)
+        sub_pairs = candidate_pairs(anchors, cfg.substring).materialize()
+        if sub_pairs.count() == 0:
+            sub_edges = ray.data.from_arrow(_EMPTY_EDGES)
+        else:
+            sub_edges = verify_containment(sub_pairs, reps, num_partitions).materialize()
+        edge_sets.append(sub_edges)
+        sub_urls_tbl = sub_edges
+    else:
+        sub_urls_tbl = None
+
+    all_edges = edge_sets[0].union(*edge_sets[1:]) if len(edge_sets) > 1 else edge_sets[0]
+    all_edges = all_edges.materialize()
+
+    # ---- components → rep cluster assignment -------------------------------
+    comp = resolve_components(all_edges, cfg.driver_dsu_max_edges)  # (url, root)
+    sub_urls: set[str] = set()
+    if sub_urls_tbl is not None:
+        for b in sub_urls_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            sub_urls.update(b["u"].to_pylist())
+            sub_urls.update(b["v"].to_pylist())
+
+    # members: url, rep_url, exact_size, n_bytes, lang, warc_ts
+    rep_clusters = comp.materialize()  # rep urls only (edges were rep-level)
+
+    if rep_clusters.count() == 0:
+        enriched = members.drop_columns(["text"]).map_batches(
+            lambda t: t.append_column("near_root",
+                                      pa.array([None] * len(t), pa.string())),
+            batch_format="pyarrow")
+    else:
+        enriched = left_attach(
+            members.drop_columns(["text"]),
+            rep_clusters,
+            left_key="rep_url",
+            right_key="url",
+            value_col="root",
+            out_col="near_root",
+            num_partitions=num_partitions,
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        reps_ = batch["rep_url"].to_pylist()
+        roots = batch["near_root"].to_pylist()
+        exact_sz = np.asarray(batch["exact_size"], dtype=np.int64)
+        canonical = [r if r is not None else rep for r, rep in zip(roots, reps_)]
+        kinds = []
+        for i, (r, rep) in enumerate(zip(roots, reps_)):
+            if r is not None:
+                kinds.append("substring" if rep in sub_urls else "near")
+            elif exact_sz[i] > 1:
+                kinds.append("exact")
+            else:
+                kinds.append("unique")
+        out = batch.append_column("canonical", pa.array(canonical, pa.string()))
+        return out.append_column("match_kind", pa.array(kinds, pa.string()))
+
+    final_members = enriched.map_batches(finalize, batch_format="pyarrow")
+
+    # ---- keeper resolution per cluster (shuffle on canonical) --------------
+    policy = cfg.keeper
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["canonical", "url"], kind="mergesort")
+        if policy.policy == "deterministic":
+            grp = df.groupby("canonical", sort=False)
+            keeper = grp["url"].transform("first")
+            df = df.assign(
+                keeper_url=keeper,
+                is_keeper=df["url"] == keeper,
+            )
+            df["action"] = np.where(df["is_keeper"], "keep", "drop")
+        else:
+            df = pd.concat([
+                select_keepers(g, policy)
+                for _, g in df.groupby("canonical", sort=False)
+            ])
+        cids = {c: _cluster_id_of(c) for c in df["canonical"].unique()}
+        return pd.DataFrame({
+            "url": df["url"],
+            "cluster_id": df["canonical"].map(cids),
+            "keeper_url": df["keeper_url"],
+            "is_keeper": df["is_keeper"],
+            "action": df["action"],
+            "match_kind": df["match_kind"],
+            "n_bytes": df["n_bytes"].astype("int64"),
+        })
+
+    assignments = grouped_apply(final_members, ["canonical"], resolve)
+
+    # ---- error rows + too-small rows pass through as self-clusters ---------
+    def selfcluster(kind: str):
+        def f(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            nb = (np.asarray(batch["n_bytes"], dtype=np.int64)
+                  if "n_bytes" in batch.column_names else np.zeros(len(urls), np.int64))
+            return pa.table({
+                "url": batch["url"],
+                "cluster_id": pa.array([_cluster_id_of(u) for u in urls], pa.string()),
+                "keeper_url": batch["url"],
+                "is_keeper": pa.array([True] * len(urls), pa.bool_()),
+                "action": pa.array(["keep"] * len(urls), pa.string()),
+                "match_kind": pa.array([kind] * len(urls), pa.string()),
+                "n_bytes": pa.array(nb, pa.int64()),
+            })
+        return f
+
+    parts = [assignments, err.map_batches(selfcluster("error"), batch_format="pyarrow")]
+    if small is not None:
+        parts.append(small.map_batches(selfcluster("too_small"), batch_format="pyarrow"))
+    out = parts[0].union(*parts[1:])
+
+    # ---- lineage: partition id from the url (stable across runs) -----------
+    def lineage(batch: pa.Table) -> pa.Table:
+        pid = (hash64_str(batch["url"].to_pylist(), seed=7) % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("partition_id", pa.array(pid, pa.int64()))
+
+    return out.map_batches(lineage, batch_format="pyarrow")

@@ -1,0 +1,79 @@
+"""Shared shuffle helper: hash-partitioned grouped apply.
+
+Ray's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per key — at
+web scale the dup-group key space has ~as many groups as rows, and a
+Python call per group dominates wall time.  The engine's pattern
+instead: append a coarse partition column ``__part = hash(key) % P``,
+group by THAT (P groups total, each a complete set of key-groups), and
+run a **vectorized partition-level function** (pandas groupby
+transforms / numpy) inside each partition.  Correctness only needs
+co-location of equal keys, which the hash guarantees; determinism
+holds because every partition function is a pure function of its rows
+(≙ the reference's coordination-free invariant, files/move.go:226-236).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import hash64_str, mix64
+
+
+def _key_hash(batch: pa.Table, keys: list[str], seed: int = 11) -> np.ndarray:
+    acc = np.full(len(batch), np.uint64(seed), dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash64_str(col.to_pylist(), seed=seed)
+        else:
+            h = mix64(np.asarray(col.cast(pa.int64())).view(np.uint64))
+        acc = mix64(acc * np.uint64(0x9E3779B97F4A7C15) + h)
+    return acc
+
+
+def grouped_apply(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    partition_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Hash-partition `ds` on `keys`, then run `partition_fn` once per
+    partition over a pandas frame containing only complete key-groups.
+
+    `partition_fn` must be pure and must not depend on row order
+    beyond what it itself sorts — results are then independent of the
+    partition count (N-vs-4N determinism)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("__part", pa.array(part, pa.int64()))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
+        out = partition_fn(df)
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def schema_names(ds: "ray.data.Dataset") -> list[str]:
+    """Column names, or [] when the dataset is empty with no schema
+    (Ray returns None for a fully-empty aggregate result)."""
+    schema = ds.schema(fetch_if_missing=False)
+    return list(schema.names) if schema is not None else []
+
+
+def dedupe_rows(ds: "ray.data.Dataset", keys: list[str], num_partitions: int = 64):
+    """Distinct rows by `keys` (one hash shuffle, vectorized dedupe)."""
+    return grouped_apply(
+        ds, keys, lambda df: df.drop_duplicates(keys), num_partitions
+    )

@@ -1,0 +1,118 @@
+"""Exact-content dedup: the reference's core semantics on Ray Data.
+
+Content identity is the pair ``(text_sha256, n_bytes)`` — the direct
+generalisation of the reference's ``(hash, size)`` grouping where every
+duplicate query groups by both so hash collisions with different sizes
+split (``files/utils.go:67-101``, tested in
+``files/duplicates_scenarios_test.go:60-100``).
+
+The one wide shuffle is ``groupby(["text_sha256","n_bytes"])`` (≙ the
+`GROUP BY hash, size HAVING COUNT(*) > 1` CTE the reference delegates
+to Postgres, ``files/utils.go:67-95``); the per-group reduce assigns
+the representative = min(url) — a pure function of group content, so
+any partitioning/cluster size reaches the same decision with no
+coordination (≙ ``files/move.go:226-236``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import sha256_hex
+from .common import grouped_apply
+
+
+def add_content_key(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Append ``text_sha256`` + ``n_bytes`` (utf-8 byte length) columns.
+
+    ≙ the hash stage ``files/hash.go:306-384`` — but the content is
+    already in memory, so there is no timeout watchdog; per-row errors
+    become in-band sentinels upstream (extract stage).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sha = sha256_hex([t or "" for t in texts])
+        nb = pc.binary_length(pc.cast(batch[text_col], pa.binary()))
+        out = batch.append_column("text_sha256", pa.array(sha, pa.string()))
+        return out.append_column("n_bytes", pc.cast(nb, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def size_duplicate_candidates(ds: "ray.data.Dataset", size_col: str = "n_bytes"):
+    """Sizes that occur more than once — the reference's candidate
+    pruning `GROUP BY size HAVING COUNT(*) > 1` (files/hash.go:37-48).
+    Returns a Dataset of (n_bytes, size_count); small enough to
+    broadcast for a semi-join gate before the expensive stage."""
+    agg = ds.groupby(size_col).count()
+    cnt_col = [c for c in agg.schema().names if c != size_col][0]
+    return agg.filter(lambda row: row[cnt_col] > 1)
+
+
+def assign_exact_groups(
+    ds: "ray.data.Dataset",
+    keep_cols: tuple[str, ...] = ("url", "warc_ts", "lang", "text"),
+) -> "ray.data.Dataset":
+    """groupby (text_sha256, n_bytes) → per-member rows with
+    ``rep_url`` (= min url, the deterministic group representative),
+    ``exact_size`` (member count) and ``is_rep``.
+
+    ``text`` is blanked for non-representatives right inside the group
+    reduce so the wide column leaves the shuffle exactly once —
+    candidate pruning in the spirit of ``files/hash.go:37-48``:
+    near-dup signatures are computed only per exact class.
+    """
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_sha256", "n_bytes", "url"], kind="mergesort")
+        grp = df.groupby(["text_sha256", "n_bytes"], sort=False)
+        df["rep_url"] = grp["url"].transform("first")
+        df["exact_size"] = grp["url"].transform("size").astype("int64")
+        df["is_rep"] = df["url"] == df["rep_url"]
+        if "text" in df.columns:
+            df.loc[~df["is_rep"] & (df["exact_size"] > 1), "text"] = ""
+        return df
+
+    cols = list(dict.fromkeys(keep_cols)) + ["text_sha256", "n_bytes"]
+    schema = ds.schema(fetch_if_missing=False)
+    if schema is not None:
+        cols = [c for c in cols if c in schema.names]
+    return grouped_apply(ds.select_columns(cols), ["text_sha256"], resolve)
+
+
+def duplicate_groups_report(
+    ds: "ray.data.Dataset",
+    min_size: int = 0,
+    limit: int | None = None,
+) -> "ray.data.Dataset":
+    """The reference's `list-dupes` read path (files/utils.go:39-159):
+    groups with COUNT(*)>1, each with member count, total_size and the
+    reclaimable savings size*(count-1), ordered by total_size desc with
+    the deterministic tiebreak (hash, size) ≙ files/utils.go:107."""
+    from ray.data.aggregate import Count, Sum
+
+    grouped = (
+        ds.filter(expr=f"n_bytes >= {int(min_size)}") if min_size else ds
+    )
+    agg = grouped.groupby(["text_sha256", "n_bytes"]).aggregate(
+        Count(alias_name="copy_count"), Sum("n_bytes", alias_name="total_size")
+    )
+    dups = agg.filter(expr="copy_count > 1")
+
+    def savings(batch: pa.Table) -> pa.Table:
+        total = np.asarray(batch["total_size"], dtype=np.int64)
+        cnt = np.asarray(batch["copy_count"], dtype=np.int64)
+        per = total // cnt
+        return batch.append_column("savings", pa.array(total - per, pa.int64()))
+
+    dups = dups.map_batches(savings, batch_format="pyarrow")
+    out = dups.sort(["total_size", "text_sha256", "n_bytes"],
+                    descending=[True, False, False])
+    if limit is not None:
+        out = out.limit(limit)
+    return out

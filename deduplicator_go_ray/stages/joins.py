@@ -1,0 +1,138 @@
+"""Join / lookup primitives (SURVEY.md §2.4).
+
+The reference's joins are either Postgres-side (dup-group CTE,
+``files/utils.go:97-107``) or N+1 point lookups (``files/import.go:
+269-281``).  Here:
+
+* small side → **broadcast**: `ray.put` once, read per actor/task,
+  dict/pandas lookup inside ``map_batches`` (≙ J2/J4's priorityMap and
+  hosts-dim enrichment) — no shuffle.
+* both sides large → hash-partitioned join.  Ray 2.49 ships
+  ``Dataset.join`` (hash shuffle on the key); we use it when present
+  and fall back to a portable union→groupby(key)→per-group pandas
+  merge otherwise.
+* semi/anti join (≙ J3 import hash anti-join) → broadcast key set and
+  filter inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def join_on(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Equi-join two Datasets on a shared column name."""
+    if hasattr(left, "join"):
+        try:
+            return left.join(
+                right,
+                join_type=("left_outer" if how == "left" else how),
+                num_partitions=num_partitions,
+                on=(key,),
+                # fractional CPUs: N aggregator actors must co-exist with
+                # the map stages even on a 4-CPU test session (a full CPU
+                # each deadlocks the streaming executor)
+                aggregator_ray_remote_args={"num_cpus": 0.125},
+            )
+        except Exception:
+            pass  # fall through to the portable path
+    return _union_groupby_join(left, right, key, how)
+
+
+def _union_groupby_join(left, right, key, how):
+    lcols = [c for c in left.schema().names if c != key]
+    rcols = [c for c in right.schema().names if c != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"join column collision: {overlap}")
+    l_tag = left.map_batches(lambda t: t.append_column("__side", pa.array(["l"] * len(t))),
+                             batch_format="pyarrow")
+    r_tag = right.map_batches(lambda t: t.append_column("__side", pa.array(["r"] * len(t))),
+                              batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[key] + lcols]
+        rg = g[g["__side"] == "r"][[key] + rcols]
+        out = lg.merge(rg, on=key, how=("left" if how == "left" else "inner"))
+        return out
+
+    return l_tag.union(r_tag).groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def left_attach(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Left-join: attach right[value_col] as left[out_col] matching
+    left[left_key] == right[right_key]; unmatched rows get null."""
+    r = right.select_columns([right_key, value_col])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({left_key: t[right_key], out_col: t[value_col]})
+
+    r = r.map_batches(rename, batch_format="pyarrow")
+    if hasattr(left, "join"):
+        try:
+            return left.join(r, join_type="left_outer",
+                             num_partitions=num_partitions, on=(left_key,),
+                             aggregator_ray_remote_args={"num_cpus": 0.125})
+        except Exception:
+            pass
+    return _union_groupby_join(left, r, left_key, "left")
+
+
+def broadcast_semi_filter(
+    ds: "ray.data.Dataset", key: str, keys: Iterable, anti: bool = False
+) -> "ray.data.Dataset":
+    """Semi (or anti) join against a broadcast key set
+    (≙ `SELECT COUNT(*) WHERE hash=$1` per candidate, files/import.go:269-281
+    — but set-membership per batch instead of an N+1 lookup)."""
+    ref = ray.put(frozenset(keys))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = np.fromiter((v in ks for v in batch[key].to_pylist()),
+                           dtype=bool, count=len(batch))
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_lookup(
+    ds: "ray.data.Dataset",
+    key: str,
+    mapping: dict,
+    out_col: str,
+    default=None,
+    out_type: pa.DataType | None = None,
+) -> "ray.data.Dataset":
+    """Broadcast dim join: add `out_col` = mapping[key] per row
+    (≙ hosts-dim enrich, files/group_dedup.go:99-101)."""
+    ref = ray.put(dict(mapping))
+
+    def f(batch: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        vals = [mp.get(v, default) for v in batch[key].to_pylist()]
+        arr = pa.array(vals, out_type) if out_type is not None else pa.array(vals)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""End-to-end dedup pipeline conformance (SURVEY.md §5 transplant):
+recall vs planted truth, keeper determinism, same-hash-different-size
+split, sentinel exclusion."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from deduplicator_go_ray.config import KeeperPolicy, PipelineConfig
+from deduplicator_go_ray.pipelines.dedup import run_dedup
+from deduplicator_go_ray.sources.corpus import generate_pages
+
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(N_ROWS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(corpus):
+    pages_tbl, truth = corpus
+    out = run_dedup(rd.from_arrow(pages_tbl)).to_pandas()
+    return out, truth.to_pandas()
+
+
+def test_row_conservation(result):
+    out, _ = result
+    assert len(out) == N_ROWS
+    assert out.url.nunique() == N_ROWS
+
+
+def test_recall_on_planted_truth(result):
+    out, tdf = result
+    cl = dict(zip(out.url, out.cluster_id))
+    den = tdf[tdf.relation.isin(["exact", "near_high", "substring"])]
+    rec = sum(1 for _, r in den.iterrows() if cl[r.url_a] == cl[r.url_b])
+    assert rec / len(den) >= 0.99
+
+
+def test_same_size_different_content_split(result):
+    """≙ same-hash-different-size guard (duplicates_scenarios_test.go:60-100)."""
+    out, tdf = result
+    cl = dict(zip(out.url, out.cluster_id))
+    guard = tdf[tdf.relation == "nondup_size_guard"]
+    assert len(guard) == 4
+    for _, r in guard.iterrows():
+        assert cl[r.url_a] != cl[r.url_b]
+
+
+def test_error_rows_in_band(result):
+    """Sentinel rows flow through as self-clusters (files/hash.go:245-264)."""
+    out, _ = result
+    errs = out[out.match_kind == "error"]
+    assert len(errs) >= 1
+    assert (errs.action == "keep").all()
+    assert (errs.is_keeper).all()
+
+
+def test_keeper_is_cluster_minimum(result):
+    """Keeper = min(url) per cluster — pure function of group content
+    (files/move.go:226-236)."""
+    out, _ = result
+    mins = out.groupby("cluster_id").url.min()
+    assert (out.keeper_url == out.cluster_id.map(mins)).all()
+    keepers = out[out.is_keeper]
+    assert (keepers.url == keepers.keeper_url).all()
+
+
+def test_actions_consistent(result):
+    out, _ = result
+    assert set(out.action) <= {"keep", "drop"}
+    # exactly one keeper per cluster under the deterministic policy
+    per = out.groupby("cluster_id").is_keeper.sum()
+    assert (per == 1).all()
+
+
+def test_partition_count_invariance(corpus):
+    """Same assignments at different parallelism/partitioning
+    (the N-vs-4N determinism invariant, BASELINE.md §3)."""
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    a = run_dedup(rd.from_arrow(small)).to_pandas()
+    b = run_dedup(rd.from_arrow(small).repartition(7)).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action"]:
+        assert (a[col] == b[col]).all(), col
+
+
+def test_keeper_policies_pure():
+    """site_popularity / priority_limits policies on a hand-made group."""
+    import pandas as pd
+
+    from deduplicator_go_ray.stages.keeper import select_keepers
+
+    g = pd.DataFrame({
+        "url": [
+            "https://a.example/1", "https://a.example/2",
+            "https://b.example/1",
+        ]
+    })
+    det = select_keepers(g.sample(frac=1, random_state=3), KeeperPolicy())
+    assert det[det.is_keeper].url.iloc[0] == "https://a.example/1"
+
+    pop = select_keepers(g, KeeperPolicy(policy="site_popularity"))
+    assert pop[pop.is_keeper].url.iloc[0] == "https://a.example/1"  # a.example has 2
+
+    pri = select_keepers(
+        g,
+        KeeperPolicy(policy="priority_limits", min_copies=2,
+                     site_priority={"b.example": 0, "a.example": 1}),
+    )
+    kept = set(pri[pri.action == "keep"].url)
+    assert kept == {"https://b.example/1", "https://a.example/1"}
