@@ -1,0 +1,204 @@
+"""Similarity search over the ``embeddings`` table.
+
+``ann_topk`` — brute-force cosine top-k: the exact baseline.  A small
+query matrix is broadcast once (``ray.put``); every batch does one
+float64 matmul against it and emits its block-local top-k; a single
+grouped reduce per query merges block results.  SQL-oracled.
+
+``ann_ivf_topk`` — the scale path: IVF-style coarse quantization.
+Centroids come from a groupby-mean over the ``label`` column (stand-in
+for a k-means pass — same shuffle shape); each vector is routed to its
+nearest centroid (one shuffle key), and each query probes only the
+``nprobe`` nearest cells.  Approximate — recall vs the brute-force
+baseline is measured in tests/, not against an oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.common import grouped_apply
+from .registry import register
+
+N_QUERIES = 5        # query set = vec_id 0..4
+TOP_K = 10
+NPROBE = 5
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    q = (_emb(sf_dir)
+         .filter(expr=f"vec_id < {N_QUERIES}")
+         .to_pandas().sort_values("vec_id"))
+    ids = q["vec_id"].to_numpy(dtype=np.int64)
+    Q = _normalize(np.array(q["embedding"].tolist(), dtype=np.float64))
+    return ids, Q
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    qids, Q = _query_matrix(sf_dir)
+    ref = ray.put((qids, Q))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        q_ids, QM = ray.get(ref)
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        B = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        S = QM @ B.T                                    # (nq, block)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = S[qi]
+            mask = ids != q_ids[qi]                     # exclude self
+            cand_ids, cand_s = ids[mask], s[mask]
+            if cand_ids.size > TOP_K:
+                part = np.argpartition(-cand_s, TOP_K)[:TOP_K]
+                cand_ids, cand_s = cand_ids[part], cand_s[part]
+            out_q.append(np.full(cand_ids.size, q_ids[qi], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = _emb(sf_dir).map_batches(block_topk, batch_format="pyarrow")
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+            frames.append(g)
+        return pd.concat(frames)[["query_id", "neighbor_id", "rank"]]
+
+    out = grouped_apply(partials, ["query_id"], reduce_topk).to_pandas()
+    return (out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+register(
+    "ann_topk",
+    ann_topk,
+    f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS sim
+      FROM q JOIN embeddings v ON v.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (rows-only).
+
+    Partition assignment and per-cell search both run as vectorized
+    ``map_batches``; only vectors in the ``NPROBE`` cells nearest each
+    query are scored — at scale this turns an all-pairs matmul into a
+    per-cell stream with a shuffle key of ``cell_id``.
+    """
+    emb = _emb(sf_dir)
+
+    # centroids: groupby(label).mean — the k-means-assignment shuffle shape
+    labeled = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t["label"], dtype=np.int64)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        out_lab, out_sum, out_cnt = [], [], []
+        for l in np.unique(lab):
+            m = lab == l
+            out_lab.append(int(l))
+            out_sum.append(V[m].sum(axis=0).tolist())
+            out_cnt.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array(out_lab, pa.int64()),
+            "vsum": pa.array(out_sum, pa.list_(pa.float64())),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        })
+
+    def merge_centroids(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for l, g in df.groupby("label", sort=True):
+            s = np.sum(np.array(g["vsum"].tolist(), dtype=np.float64), axis=0)
+            rows.append({"label": int(l), "centroid": (s / g["cnt"].sum()).tolist()})
+        return pd.DataFrame(rows)
+
+    cent_df = grouped_apply(
+        labeled.map_batches(partial_sums, batch_format="pyarrow"),
+        ["label"], merge_centroids).to_pandas().sort_values("label")
+    C = _normalize(np.array(cent_df["centroid"].tolist(), dtype=np.float64))
+    cent_labels = cent_df["label"].to_numpy(dtype=np.int64)
+
+    qids, Q = _query_matrix(sf_dir)
+    # probe set per query: NPROBE nearest centroids
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :NPROBE]
+    probe_labels = cent_labels[probe]                   # (nq, NPROBE)
+    ref = ray.put((qids, Q, probe_labels, C, cent_labels))
+
+    def search(t: pa.Table) -> pa.Table:
+        q_ids, QM, probes, CM, clabels = ray.get(ref)
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        V = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        # route each vector to its nearest centroid (IVF cell)
+        cell = clabels[np.argmax(V @ CM.T, axis=1)]
+        S = QM @ V.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            in_cell = np.isin(cell, probes[qi]) & (ids != q_ids[qi])
+            cand_ids, cand_s = ids[in_cell], S[qi][in_cell]
+            if cand_ids.size > TOP_K:
+                part = np.argpartition(-cand_s, TOP_K)[:TOP_K]
+                cand_ids, cand_s = cand_ids[part], cand_s[part]
+            out_q.append(np.full(cand_ids.size, q_ids[qi], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = emb.map_batches(search, batch_format="pyarrow")
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+            frames.append(g)
+        return pd.concat(frames)[["query_id", "neighbor_id", "rank"]]
+
+    out = grouped_apply(partials, ["query_id"], reduce_topk).to_pandas()
+    return (out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+register("ann_ivf_topk", ann_ivf_topk)

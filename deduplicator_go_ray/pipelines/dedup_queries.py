@@ -1,0 +1,312 @@
+"""Deduplication queries over the ``documents`` table: exact-gram Jaccard
+(SQL-oracled), MinHash-LSH, SimHash, embedding-cosine near-dup, and the
+full flagship pipeline.
+
+The candidate-generate → verify shape mirrors the reference's
+hash-candidate pruning then full-identity confirmation
+(``files/hash.go:37-48`` → ``files/utils.go:67-95``): cheap shared-gram
+buckets (bounded per-bucket pair emission, hot buckets skipped — their
+pairs are carried by their rarer grams) feed an exact verification join
+that recomputes the true Jaccard from each side's full gram set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import MinHashConfig, SimHashConfig, SubstringConfig
+from ..functions.hashing import hash64_str
+from ..stages.common import dedupe_rows, grouped_apply
+from ..stages.joins import join_on
+from ..stages.lsh import band_rows, candidate_edges, hot_band_keys, salt_bands, simhash_edges, verify_edges
+from ..stages.signatures import SignatureStage
+from .registry import register
+
+NGRAM_N = 3                 # word trigrams
+NGRAM_THRESHOLD = 0.8       # exact-Jaccard dup cutoff
+GRAM_DF_CAP = 200           # buckets bigger than this skip pair emission
+COSINE_THRESHOLD = 0.45
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------------------
+# word-trigram exact Jaccard — candidate buckets + exact verify join
+# --------------------------------------------------------------------------
+
+def _gram_sets(sf_dir: str) -> "ray.data.Dataset":
+    """Per doc: sorted distinct trigram u64 hashes as a binary blob + count."""
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        blobs, counts = [], []
+        for s in texts:
+            w = [x for x in s.split(" ") if x]
+            grams = {" ".join(w[i:i + NGRAM_N]) for i in range(len(w) - NGRAM_N + 1)}
+            hs = np.sort(hash64_str(sorted(grams))) if grams else np.empty(0, np.uint64)
+            blobs.append(hs.tobytes())
+            counts.append(len(grams))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "grams": pa.array(blobs, pa.binary()),
+            "n_grams": pa.array(counts, pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    sets = _gram_sets(sf_dir).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        blobs = t["grams"].to_pylist()
+        lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        flat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        return pa.table({
+            "gram": pa.array(flat.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+        })
+
+    gram_rows = sets.map_batches(explode, batch_format="pyarrow")
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.groupby("gram")["doc_id"].transform("size")
+        df = df[(sz > 1) & (sz <= GRAM_DF_CAP)]
+        frames = []
+        for _, g in df.groupby("gram", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            iu, jv = np.triu_indices(ids.size, k=1)
+            frames.append(pd.DataFrame({"a": ids[iu], "b": ids[jv]}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.concat(frames).drop_duplicates()
+
+    cand = dedupe_rows(grouped_apply(gram_rows, ["gram"], emit_pairs),
+                       ["a", "b"]).materialize()
+    if cand.count() == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                             "doc_id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+
+    def side(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                name: t["doc_id"],
+                f"grams_{name}": t["grams"],
+                f"n_{name}": t["n_grams"],
+            })
+        return f
+
+    # two chained joins run concurrently under the streaming executor —
+    # keep the aggregator-actor footprint (partitions × 0.125 cpu × 2)
+    # well under the smallest test cluster (4 cpus) or they starve the
+    # map stages and deadlock
+    left = join_on(cand, sets.map_batches(side("a"), batch_format="pyarrow"),
+                   "a", num_partitions=4)
+    both = join_on(left, sets.map_batches(side("b"), batch_format="pyarrow"),
+                   "b", num_partitions=4)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                             "doc_id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        na = np.asarray(t["n_a"], dtype=np.int64)
+        nb = np.asarray(t["n_b"], dtype=np.int64)
+        ga = t["grams_a"].to_pylist()
+        gb = t["grams_b"].to_pylist()
+        inter = np.array([
+            np.intersect1d(np.frombuffer(x, np.uint64),
+                           np.frombuffer(y, np.uint64)).size
+            for x, y in zip(ga, gb)
+        ], dtype=np.int64)
+        jac = inter / np.maximum(na + nb - inter, 1)
+        keep = jac >= NGRAM_THRESHOLD
+        return pa.table({
+            "doc_id_a": pa.array(np.asarray(t["a"], np.int64)[keep], pa.int64()),
+            "doc_id_b": pa.array(np.asarray(t["b"], np.int64)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    out = both.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                            "doc_id_b": pd.Series(dtype="int64"),
+                            "jaccard": pd.Series(dtype="float64")})
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+register(
+    "ngram_jaccard_pairs",
+    ngram_jaccard_pairs,
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           i * 1.0 / (ca.n + cb.n - i) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = da
+    JOIN cnt cb ON cb.doc_id = db
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= {NGRAM_THRESHOLD}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH + SimHash near-dup pairs (rows-only; recall vs the exact
+# ngram pairs is asserted in tests/)
+# --------------------------------------------------------------------------
+
+def _doc_sigs(sf_dir: str, compute_anchors: bool = False) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        # zero-padded so lexicographic url order == numeric doc order
+        return pa.table({
+            "url": pa.array([f"{i:012d}" for i in ids], pa.string()),
+            "text": t["text"],
+        })
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    return pages.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"compute_anchors": compute_anchors},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    ).materialize()
+
+
+def _pairs_to_ids(edges: "ray.data.Dataset") -> pd.DataFrame:
+    df = edges.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                             "doc_id_b": pd.Series(dtype="int64")})
+    a = df["u"].astype("int64")
+    b = df["v"].astype("int64")
+    out = pd.DataFrame({"doc_id_a": np.minimum(a, b), "doc_id_b": np.maximum(a, b)})
+    return (out.drop_duplicates().sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True))
+
+
+def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+    cfg = MinHashConfig()
+    from ..config import LSHConfig
+    lsh = LSHConfig()
+    sigs = _doc_sigs(sf_dir)
+    bands = band_rows(sigs, cfg)
+    hot = hot_band_keys(bands, lsh)
+    cand = dedupe_rows(candidate_edges(salt_bands(bands, hot, lsh), lsh),
+                       ["u", "v"]).materialize()
+    if cand.count() == 0:
+        return _pairs_to_ids(cand)
+    verified = verify_edges(cand, sigs, cfg, num_partitions=4).select_columns(["u", "v"])
+    return _pairs_to_ids(verified)
+
+
+register("minhash_lsh_pairs", minhash_lsh_pairs)
+
+
+def simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    # short documents flip more simhash bits per token edit than long
+    # ones: J≥0.95 pairs on this corpus span hamming 0-7, so the
+    # standalone query buckets on 8-bit chunks (pigeonhole guarantee
+    # through hamming 7) with threshold 8.  The flagship pipeline keeps
+    # the stricter default (there simhash only *adds* candidates that
+    # MinHash verification re-checks).
+    sigs = _doc_sigs(sf_dir)
+    edges = simhash_edges(sigs, hamming_threshold=8, chunk_bits=8)
+    return _pairs_to_ids(edges)
+
+
+register("simhash_pairs", simhash_pairs)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (SQL-oracled via list_cosine_similarity)
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """All-pairs cosine ≥ τ via blocked matmul against a broadcast
+    normalized matrix (``ray.put`` once, read per task — never re-shipped
+    per batch).  This is the small-corpus/exact path; the bucketed scale
+    path is ``ann_ivf_topk`` (ann_queries.py)."""
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    tbl = emb.to_pandas()
+    ids = tbl["vec_id"].to_numpy(dtype=np.int64)
+    V = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    ids, Vn = ids[order], Vn[order]
+    ref = ray.put((ids, Vn))
+
+    def block(t: pa.Table) -> pa.Table:
+        all_ids, M = ray.get(ref)
+        bid = np.asarray(t["vec_id"], dtype=np.int64)
+        B = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        S = B @ M.T                                     # (block, N)
+        ii, jj = np.nonzero((S >= COSINE_THRESHOLD) & (bid[:, None] < all_ids[None, :]))
+        return pa.table({
+            "id_a": pa.array(bid[ii], pa.int64()),
+            "id_b": pa.array(all_ids[jj], pa.int64()),
+        })
+
+    out = emb.map_batches(block, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+register(
+    "embedding_dup_pairs",
+    embedding_dup_pairs,
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# flagship pipeline as a query (rows-only — LSH/cluster/keeper semantics
+# are verified against planted truth in tests/)
+# --------------------------------------------------------------------------
+
+def dedup_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    from ..pipelines.dedup import run_dedup
+    from ..sources.pages import pages_from_documents
+
+    return run_dedup(pages_from_documents(sf_dir)).select_columns(
+        ["url", "cluster_id", "keeper_url", "is_keeper", "action", "match_kind"])
+
+
+register("dedup_pipeline", dedup_pipeline)

@@ -1,0 +1,274 @@
+"""Text-analysis queries: token counting, character-class stats, stopword
+ratios, quality scoring, language ID and document fingerprints.
+
+These extend the engine beyond the reference's operator set toward what a
+large-scale training-data pipeline needs (task brief).  SQL-expressible
+stats carry a DuckDB oracle; heuristic ops (language ID, BPE-ish token
+count, fingerprints) are rows-only and verified in tests/.
+
+All counting is integer end-to-end (counts / permille ratios) so value
+hashes match the oracle bit-for-bit.  The character-class kernel is
+vectorized: one ``np.frombuffer`` over the concatenated utf-8 buffer +
+``np.add.reduceat`` per document — no Python loop over characters
+(ASCII classes only, so multi-byte utf-8 cannot collide with them).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.textstats import fingerprint64, lang_id, token_count_bpe
+from .registry import register
+
+# stopword list shared between the Ray kernel and the SQL oracle
+STOPWORDS = ("the", "a", "of", "to", "in", "and", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _char_class_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_alpha, n_digit, n_space) per text, one vectorized pass."""
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    if flat.size == 0:
+        z = np.zeros(len(texts), dtype=np.int64)
+        return z, z.copy(), z.copy()
+    alpha = ((flat >= 0x41) & (flat <= 0x5A)) | ((flat >= 0x61) & (flat <= 0x7A))
+    digit = (flat >= 0x30) & (flat <= 0x39)
+    space = flat == 0x20
+    # reduceat with equal consecutive indices (empty docs) returns the
+    # element at that index — zero out empty docs afterwards.
+    n_alpha = np.add.reduceat(alpha.astype(np.int64), starts)
+    n_digit = np.add.reduceat(digit.astype(np.int64), starts)
+    n_space = np.add.reduceat(space.astype(np.int64), starts)
+    empty = lens == 0
+    n_alpha[empty] = 0
+    n_digit[empty] = 0
+    n_space[empty] = 0
+    return n_alpha, n_digit, n_space
+
+
+def _token_counts(texts: list[str]) -> np.ndarray:
+    """Non-empty single-space-split token count — exactly DuckDB's
+    len(list_filter(string_split(text,' '), x -> x <> ''))."""
+    return np.array(
+        [sum(1 for t in s.split(" ") if t) for s in texts], dtype=np.int64
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace)
+# --------------------------------------------------------------------------
+
+def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(_token_counts(t["text"].to_pylist()), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "token_counts",
+    token_counts,
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# character-class stats
+# --------------------------------------------------------------------------
+
+def char_classes(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        a, d, s = _char_class_counts(t["text"].to_pylist())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_alpha": pa.array(a, pa.int64()),
+            "n_digit": pa.array(d, pa.int64()),
+            "n_space": pa.array(s, pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "char_classes",
+    char_classes,
+    """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# stopword stats
+# --------------------------------------------------------------------------
+
+def stopword_stats(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    stops = frozenset(STOPWORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_stop = np.array(
+            [sum(1 for w in s.split(" ") if w in stops) for s in texts],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "n_tokens": pa.array(_token_counts(texts), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "stopword_stats",
+    stopword_stats,
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# quality scoring — integer permille components, SQL-checkable
+# --------------------------------------------------------------------------
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+    stops = frozenset(STOPWORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        nc = np.asarray(t["n_chars"], dtype=np.int64)
+        a, _, sp = _char_class_counts(texts)
+        nt = _token_counts(texts)
+        ns = np.array(
+            [sum(1 for w in s.split(" ") if w in stops) for s in texts],
+            dtype=np.int64,
+        )
+        safe_nc = np.maximum(nc, 1)
+        safe_nt = np.maximum(nt, 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "alpha_permille": pa.array(1000 * a // safe_nc, pa.int64()),
+            "stop_permille": pa.array(1000 * ns // safe_nt, pa.int64()),
+            # mean token length ×100: tokens' chars = n_chars - n_space
+            "toklen_x100": pa.array(100 * (nc - sp) // safe_nt, pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "quality_scores",
+    quality_scores,
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) - length(replace(text, ' ', '')) AS n_space,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_STOP_SQL}))) AS n_stop,
+             n_chars
+      FROM documents)
+    SELECT doc_id,
+           CAST(1000 * n_alpha // GREATEST(n_chars, 1) AS BIGINT) AS alpha_permille,
+           CAST(1000 * n_stop // GREATEST(n_tokens, 1) AS BIGINT) AS stop_permille,
+           CAST(100 * (n_chars - n_space) // GREATEST(n_tokens, 1) AS BIGINT)
+               AS toklen_x100
+    FROM s
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# language ID + BPE token count + fingerprints — rows-only (heuristics,
+# not SQL-expressible; determinism + behavior covered in tests/)
+# --------------------------------------------------------------------------
+
+def lang_id_pred(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "pred_lang": pa.array([lang_id(s) for s in texts], pa.string()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register("lang_id_pred", lang_id_pred)
+
+
+def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_tokens": pa.array(
+                [token_count_bpe(s) for s in texts], pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register("bpe_token_counts", bpe_token_counts)
+
+
+def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        fps = np.array([fingerprint64(s) for s in texts], dtype=np.uint64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            # int64 bit-view: stable transport type for a u64 fingerprint
+            "fingerprint": pa.array(fps.view(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register("doc_fingerprints", doc_fingerprints)

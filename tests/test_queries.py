@@ -1,0 +1,96 @@
+"""Query-registry behavior tests (sf0.001 inputs — smallest driver tables).
+
+The SQL-oracled queries are covered by the driver's DuckDB comparison
+(and tools/check_oracle.py locally); these tests cover what the oracle
+can't: near-dup recall against exact Jaccard, IVF recall against the
+brute-force baseline, and determinism of the heuristic ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries()
+
+
+def _pair_set(df: pd.DataFrame, a: str, b: str) -> set[tuple[int, int]]:
+    return {(min(x, y), max(x, y)) for x, y in zip(df[a], df[b])}
+
+
+def test_registry_complete(registry, ray_session):
+    import __ray_entry__ as e
+
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(registry)
+    # every operator family from the build plan is represented
+    for name in [
+        "exact_dup_groups", "dup_size_groups", "keeper_assignments",
+        "import_anti_join", "mirror_plan", "topk_groups",
+        "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
+        "embedding_dup_pairs", "ann_topk", "ann_ivf_topk",
+        "token_counts", "quality_scores", "lang_id_pred", "doc_fingerprints",
+        "dedup_pipeline",
+    ]:
+        assert name in registry, name
+
+
+def test_minhash_recall_vs_exact_jaccard(registry):
+    exact = registry["ngram_jaccard_pairs"](SF_DIR)
+    lsh = registry["minhash_lsh_pairs"](SF_DIR)
+    truth = _pair_set(exact, "doc_id_a", "doc_id_b")
+    found = _pair_set(lsh, "doc_id_a", "doc_id_b")
+    assert truth, "corpus should contain planted near-dup pairs"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.99, f"recall {recall:.3f} on {len(truth)} truth pairs"
+
+
+def test_simhash_finds_high_sim_pairs(registry):
+    exact = registry["ngram_jaccard_pairs"](SF_DIR)
+    sim = registry["simhash_pairs"](SF_DIR)
+    near_exact = _pair_set(exact[exact["jaccard"] >= 0.95], "doc_id_a", "doc_id_b")
+    found = _pair_set(sim, "doc_id_a", "doc_id_b")
+    # SimHash (hamming ≤ 3) must catch the near-identical tier
+    recall = len(near_exact & found) / max(len(near_exact), 1)
+    assert recall >= 0.9, f"simhash recall {recall:.3f}"
+
+
+def test_ann_ivf_recall(registry):
+    exact = registry["ann_topk"](SF_DIR)
+    approx = registry["ann_ivf_topk"](SF_DIR)
+    hits = total = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(truth & got)
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.5, f"IVF nprobe recall {recall:.3f}"
+    # every query answered with a full top-k
+    assert (approx.groupby("query_id").size() == 10).all()
+
+
+def test_fingerprints_deterministic(registry):
+    a = registry["doc_fingerprints"](SF_DIR).to_pandas().sort_values("doc_id")
+    b = registry["doc_fingerprints"](SF_DIR).to_pandas().sort_values("doc_id")
+    assert (a["fingerprint"].to_numpy() == b["fingerprint"].to_numpy()).all()
+    # fingerprints separate distinct docs (collision-free on this corpus)
+    assert a["fingerprint"].nunique() >= a["doc_id"].nunique() * 95 // 100
+
+
+def test_lang_id_deterministic_and_total(registry):
+    out = registry["lang_id_pred"](SF_DIR).to_pandas()
+    assert len(out) == 500
+    assert out["pred_lang"].notna().all()
+
+
+def test_embedding_pairs_symmetric_ordering(registry):
+    pairs = registry["embedding_dup_pairs"](SF_DIR)
+    assert (pairs["id_a"] < pairs["id_b"]).all()
