@@ -1,0 +1,170 @@
+"""Headline benchmark for the Ray-Data dedup engine.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) in one local Ray session
+(``num_cpus = $RAY_GRAFT_CPUS`` or 32) and prints ONE JSON line::
+
+    {"metric": "e2e_sec", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": "...", "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the flagship dedup pipeline twice in FRESH
+subprocesses at num_cpus=8 and num_cpus=32 on the same input — the
+sandbox stand-in for the north rule's N-vs-4N-node criterion
+(BASELINE.md §3) — reporting both throughputs, the scaling efficiency
+(target ≥ 0.8) and whether cluster assignments are identical across
+parallelism (the coordination-free-determinism invariant,
+≙ files/move.go:226-236 in the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline set: flagship pipeline + one representative per operator family
+HEADLINE = [
+    "dedup_pipeline",        # flagship: extract → exact → LSH → cluster → keeper
+    "minhash_lsh_pairs",     # near-dup signatures + banding
+    "ngram_jaccard_pairs",   # exact-Jaccard verify path
+    "exact_dup_groups",      # the core (hash, size) grouping shuffle
+    "keeper_assignments",    # per-group keeper resolution
+    "pricing_summary",       # wide pre-aggregated groupby
+    "token_counts",          # vectorized text kernel
+    "ann_topk",              # broadcast matmul similarity search
+]
+
+
+def _consume(res) -> int:
+    """Fully materialize a query result; returns row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame,)):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()  # ray Dataset — executes the pipeline
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        rows[name] = _consume(qs[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    n_docs = rows.get("token_counts", 0)
+    dedup_sec = timings.get("dedup_pipeline", float("nan"))
+    out = {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
+    }
+    ray.shutdown()
+    return out
+
+
+SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "30000"))
+SCALE_CORPUS = f"/tmp/bench_corpus_{SCALE_ROWS}"
+
+
+def _ensure_scale_corpus() -> str:
+    """Deterministic synthetic pages corpus for the scaling run — the
+    sf0.1 documents table (5k short rows) is too small to saturate 32
+    cpus, so the N-vs-4N evidence runs on the planted-dup web corpus
+    (seed-fixed, bit-identical across invocations)."""
+    pages = os.path.join(SCALE_CORPUS, "pages.parquet")
+    if not os.path.exists(pages):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from deduplicator_go_ray.sources.corpus import write_corpus
+
+        write_corpus(SCALE_CORPUS, SCALE_ROWS, seed=42)
+    return pages
+
+
+def _scaling_child(num_cpus: int, pages_path: str, out_path: str) -> dict:
+    """Run the flagship pipeline in a fresh process; write assignments +
+    timing to ``out_path``; return the parsed result."""
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import ray
+ray.init(address="local", num_cpus={num_cpus}, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data
+ray.data.DataContext.get_current().enable_progress_bars = False
+from deduplicator_go_ray.pipelines.dedup import run_dedup
+t0 = time.time()
+ds = ray.data.read_parquet({pages_path!r})
+df = run_dedup(ds).to_pandas()
+wall = time.time() - t0
+df = df.sort_values("url").reset_index(drop=True)
+df.to_parquet({out_path!r})
+print(json.dumps({{"wall": wall, "rows": len(df),
+                   "clusters": int(df["cluster_id"].nunique())}}))
+ray.shutdown()
+"""
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"scaling child ({num_cpus} cpus) failed:\n{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    import pandas as pd
+
+    pages = _ensure_scale_corpus()
+    lo_cpus, hi_cpus = 8, 32
+    lo = _scaling_child(lo_cpus, pages, "/tmp/bench_scale_lo.parquet")
+    hi = _scaling_child(hi_cpus, pages, "/tmp/bench_scale_hi.parquet")
+    tp_lo = lo["rows"] / lo["wall"]
+    tp_hi = hi["rows"] / hi["wall"]
+    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    same = pd.read_parquet("/tmp/bench_scale_lo.parquet").equals(
+        pd.read_parquet("/tmp/bench_scale_hi.parquet"))
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "low": {"num_cpus": lo_cpus, "wall_sec": round(lo["wall"], 2),
+                "docs_per_sec": round(tp_lo, 1)},
+        "high": {"num_cpus": hi_cpus, "wall_sec": round(hi["wall"], 2),
+                 "docs_per_sec": round(tp_hi, 1)},
+        "assignments_identical": bool(same),
+        "n_docs": lo["rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -136,11 +136,24 @@ class PipelineConfig:
     # only size-duplicate candidates.
     prune_by_size: bool = False
     # signature stage sizing: html/text rows are wide — keep batches
-    # small (SURVEY.md §4 memory row).
+    # small (SURVEY.md §4 memory row).  concurrency None = adaptive:
+    # (1, cluster CPU count) resolved when the pipeline is built, so the
+    # actor pool can actually occupy an N-cpu cluster (a fixed cap is
+    # the classic N-vs-4N scaling killer).
     signature_batch_size: int = 256
-    signature_concurrency: int | tuple[int, int] = (1, 8)
+    signature_concurrency: int | tuple[int, int] | None = None
     # edges below this count resolve with a driver-side DSU; above it
     # the distributed label-propagation path runs (SURVEY.md §7.4).
     driver_dsu_max_edges: int = 5_000_000
+    # size-aware physical plans: below these thresholds the small side
+    # of a verification/enrichment join is broadcast (`ray.put` once,
+    # dict/matrix lookup per batch — no shuffle, no aggregator actors);
+    # above them the hash-partitioned join path runs.  ≙ J2/J4's
+    # broadcast-small-side rule (SURVEY.md §2.4) applied adaptively.
+    broadcast_max_reps: int = 2_000_000
+    # skip the hot-band pre-count (an extra groupby + driver collect)
+    # when the band-row volume is too small for any bucket to threaten
+    # a reducer; the in-partition cap still bounds pair emission.
+    presalt_min_band_rows: int = 2_000_000
     run_substring_pass: bool = True
     run_simhash: bool = True

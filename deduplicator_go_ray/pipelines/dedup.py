@@ -21,6 +21,7 @@ validated by the N-vs-4N scaling protocol (BASELINE.md §3).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -36,12 +37,34 @@ from ..stages.common import dedupe_rows, grouped_apply
 from ..stages.exact import add_content_key, assign_exact_groups
 from ..stages.extract import ExtractStage
 from ..stages.keeper import select_keepers
-from ..stages.lsh import band_rows, candidate_edges, hot_band_keys, salt_bands, simhash_edges, verify_edges
+from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
+                          simhash_edges, verify_edges, verify_edges_broadcast)
 from ..stages.signatures import SignatureStage
-from ..stages.joins import left_attach
-from ..stages.substring import anchor_rows, candidate_pairs, verify_containment
+from ..stages.joins import broadcast_lookup, left_attach
+from ..stages.substring import (anchor_rows, candidate_pairs, verify_containment,
+                                verify_containment_broadcast)
 
 _EMPTY_EDGES = pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+
+# per-worker-process stage cache: task-based map stages still build
+# their state once per worker (the actor-pool __init__ guarantee)
+# because Ray reuses worker processes across tasks.
+_STAGE_CACHE: dict = {}
+
+
+def _extract_cached(batch: pa.Table) -> pa.Table:
+    st = _STAGE_CACHE.get("extract")
+    if st is None:
+        st = _STAGE_CACHE["extract"] = ExtractStage()
+    return st(batch)
+
+
+def _signature_cached(batch: pa.Table, **kwargs) -> pa.Table:
+    key = ("sig", tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        st = _STAGE_CACHE[key] = SignatureStage(**kwargs)
+    return st(batch)
 
 _EMPTY_ASSIGN = pa.table({
     "url": pa.array([], pa.string()),
@@ -70,13 +93,28 @@ def run_dedup(
     cfg = cfg or PipelineConfig()
 
     # ---- extract + hash ----------------------------------------------------
+    # default plan: task-based map stages with per-worker lazy stage
+    # init (_stage_cached) — tasks auto-scale to the whole cluster and
+    # skip actor-pool spin-up (which costs seconds per stage and caps
+    # parallelism at the pool size, the N-vs-4N scaling killer).  An
+    # explicit cfg.signature_concurrency switches to actor pools — the
+    # right plan when stage state is genuinely heavy (model weights,
+    # multimodal decoders).
+    if cfg.signature_concurrency is None:
+        extract_fn = _extract_cached
+    else:
+        extract_fn = ExtractStage
     extracted = pages.map_batches(
-        ExtractStage,
+        extract_fn,
         batch_format="pyarrow",
         batch_size=cfg.signature_batch_size,
-        concurrency=cfg.signature_concurrency,
+        **({} if cfg.signature_concurrency is None
+           else {"concurrency": cfg.signature_concurrency}),
     )
-    hashed = add_content_key(extracted)
+    # materialize ONCE: the ok/err/small branches below each consume this
+    # dataset — left lazy, the whole extract pipeline would re-execute
+    # per branch (3× the heaviest map stage)
+    hashed = add_content_key(extracted).materialize()
     # ≙ every reference dup query excluding sentinel rows (files/utils.go:72)
     ok = hashed.map_batches(
         lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
@@ -101,52 +139,97 @@ def run_dedup(
         lambda t: t.filter(t["is_rep"]), batch_format="pyarrow")
 
     # ---- signatures on representatives only (candidate pruning §7.0) -------
-    sigs = reps.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={
-            "minhash": cfg.minhash,
-            "simhash": cfg.simhash,
-            "substring": cfg.substring,
-            "compute_anchors": cfg.run_substring_pass,
-        },
-        batch_format="pyarrow",
-        batch_size=cfg.signature_batch_size,
-        concurrency=cfg.signature_concurrency,
-    ).materialize()
+    sig_kwargs = {
+        "minhash": cfg.minhash,
+        "simhash": cfg.simhash,
+        "substring": cfg.substring,
+        "compute_anchors": cfg.run_substring_pass,
+    }
+    if cfg.signature_concurrency is None:
+        sigs = reps.map_batches(
+            functools.partial(_signature_cached, **sig_kwargs),
+            batch_format="pyarrow",
+            batch_size=cfg.signature_batch_size,
+        ).materialize()
+    else:
+        sigs = reps.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs=sig_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.signature_batch_size,
+            concurrency=cfg.signature_concurrency,
+        ).materialize()
 
     # ---- candidate edges ---------------------------------------------------
+    # size-aware physical plan: small signature tables broadcast into
+    # join-free verification (no shuffle, no aggregator actors); the
+    # partitioned-join path is the 100 TB plan (SURVEY.md §2.4 J2/J4).
+    n_reps = sigs.count()
+    use_broadcast = n_reps <= cfg.broadcast_max_reps
+
     bands = band_rows(sigs, cfg.minhash)
-    hot = hot_band_keys(bands, cfg.lsh)
-    salted = salt_bands(bands, hot, cfg.lsh)
+    if n_reps * cfg.minhash.bands >= cfg.presalt_min_band_rows:
+        # hot-band pre-count + salting: required once a single band
+        # bucket could overwhelm a reducer (north-rule skew handling)
+        hot = hot_band_keys(bands, cfg.lsh)
+        salted = salt_bands(bands, hot, cfg.lsh)
+    else:
+        # in-partition caps still bound pair emission; the pre-count
+        # would be pure fixed cost at this volume
+        salted = bands.map_batches(
+            lambda t: t.append_column(
+                "salt", pa.array(np.zeros(len(t), np.int32), pa.int32())),
+            batch_format="pyarrow")
     lsh_cand = candidate_edges(salted, cfg.lsh)
     cands = [lsh_cand]
     if cfg.run_simhash:
         cands.append(simhash_edges(sigs, cfg.simhash.hamming_threshold))
     cand = cands[0].union(*cands[1:]) if len(cands) > 1 else cands[0]
-    cand = dedupe_rows(cand, ["u", "v"]).materialize()
 
-    # empty candidate sets lose their schema through the shuffle — guard
-    # the joins (≙ the reference's zero-dup early exits)
-    if cand.count() == 0:
-        verified = ray.data.from_arrow(_EMPTY_EDGES)
+    if use_broadcast:
+        # duplicate candidate edges (same pair from many bands) cost one
+        # vector compare each here — cheaper than a dedupe shuffle; the
+        # union-find downstream is idempotent to repeats
+        verified = verify_edges_broadcast(cand, sigs, cfg.minhash).select_columns(["u", "v"])
     else:
-        verified = verify_edges(cand, sigs, cfg.minhash, num_partitions).select_columns(["u", "v"])
+        cand = dedupe_rows(cand, ["u", "v"]).materialize()
+        # empty candidate sets lose their schema through the shuffle —
+        # guard the joins (≙ the reference's zero-dup early exits)
+        if cand.count() == 0:
+            verified = ray.data.from_arrow(_EMPTY_EDGES)
+        else:
+            verified = verify_edges(cand, sigs, cfg.minhash, num_partitions).select_columns(["u", "v"])
 
-    edge_sets = [verified]
+    def tag(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "u": t["u"], "v": t["v"],
+                "kind": pa.array([kind] * len(t), pa.string()),
+            })
+        return f
+
+    edge_sets = [verified.map_batches(tag("near"), batch_format="pyarrow")]
     if cfg.run_substring_pass:
         anchors = anchor_rows(sigs)
-        sub_pairs = candidate_pairs(anchors, cfg.substring).materialize()
-        if sub_pairs.count() == 0:
-            sub_edges = ray.data.from_arrow(_EMPTY_EDGES)
+        sub_pairs = candidate_pairs(anchors, cfg.substring)
+        if use_broadcast:
+            sub_edges = verify_containment_broadcast(sub_pairs, reps)
         else:
-            sub_edges = verify_containment(sub_pairs, reps, num_partitions).materialize()
-        edge_sets.append(sub_edges)
-        sub_urls_tbl = sub_edges
-    else:
-        sub_urls_tbl = None
+            sub_pairs = sub_pairs.materialize()
+            if sub_pairs.count() == 0:
+                sub_edges = ray.data.from_arrow(_EMPTY_EDGES)
+            else:
+                sub_edges = verify_containment(sub_pairs, reps, num_partitions)
+        edge_sets.append(sub_edges.map_batches(tag("sub"), batch_format="pyarrow"))
 
-    all_edges = edge_sets[0].union(*edge_sets[1:]) if len(edge_sets) > 1 else edge_sets[0]
-    all_edges = all_edges.materialize()
+    # ONE materialization for near+substring edges (tagged) — the
+    # substring-url set is a cheap filter over it, not its own barrier
+    all_tagged = edge_sets[0].union(*edge_sets[1:]) if len(edge_sets) > 1 else edge_sets[0]
+    all_tagged = all_tagged.materialize()
+    sub_urls_tbl = (all_tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "sub")), batch_format="pyarrow")
+        if cfg.run_substring_pass else None)
+    all_edges = all_tagged.select_columns(["u", "v"])
 
     # ---- components → rep cluster assignment -------------------------------
     comp = resolve_components(all_edges, cfg.driver_dsu_max_edges)  # (url, root)
@@ -158,12 +241,22 @@ def run_dedup(
 
     # members: url, rep_url, exact_size, n_bytes, lang, warc_ts
     rep_clusters = comp.materialize()  # rep urls only (edges were rep-level)
+    n_comp = rep_clusters.count()
 
-    if rep_clusters.count() == 0:
+    if n_comp == 0:
         enriched = members.drop_columns(["text"]).map_batches(
             lambda t: t.append_column("near_root",
                                       pa.array([None] * len(t), pa.string())),
             batch_format="pyarrow")
+    elif n_comp <= cfg.broadcast_max_reps:
+        # the component map is tiny relative to the corpus (near-dup
+        # members only) — broadcast it instead of a shuffle join
+        mapping: dict[str, str] = {}
+        for b in rep_clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            mapping.update(zip(b["url"].to_pylist(), b["root"].to_pylist()))
+        enriched = broadcast_lookup(
+            members.drop_columns(["text"]), "rep_url", mapping,
+            "near_root", out_type=pa.string())
     else:
         enriched = left_attach(
             members.drop_columns(["text"]),

@@ -180,6 +180,50 @@ def verify_edges(
     return both.map_batches(score, batch_format="pyarrow")
 
 
+def verify_edges_broadcast(
+    edges: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    cfg: MinHashConfig,
+) -> "ray.data.Dataset":
+    """Join-free verification for corpora whose signature table fits the
+    object store comfortably (≤ ``broadcast_max_reps`` rows ≈ 1 GiB at
+    128 perms): the (url→row, signature-matrix) pair is ``ray.put`` once
+    and every edge batch verifies by direct indexing.  Semantically
+    identical to :func:`verify_edges`; the join path remains the
+    100 TB-scale plan."""
+    P = cfg.num_perms
+    urls: list[str] = []
+    mats: list[np.ndarray] = []
+    for b in sigs.select_columns(["url", "minhash"]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"):
+        urls.extend(b["url"].to_pylist())
+        mats.append(np.asarray(b["minhash"].combine_chunks().flatten())
+                    .reshape(len(b), P))
+    mat = np.concatenate(mats) if mats else np.empty((0, P), np.uint64)
+    index = {u: i for i, u in enumerate(urls)}
+    ref = ray.put((index, mat))
+    thr = cfg.verify_threshold
+
+    def score(batch: pa.Table) -> pa.Table:
+        idx, m = ray.get(ref)
+        us = batch["u"].to_pylist()
+        vs = batch["v"].to_pylist()
+        iu = np.array([idx.get(u, -1) for u in us], dtype=np.int64)
+        iv = np.array([idx.get(v, -1) for v in vs], dtype=np.int64)
+        ok = (iu >= 0) & (iv >= 0)
+        est = np.zeros(len(us))
+        if ok.any():
+            est[ok] = (m[iu[ok]] == m[iv[ok]]).mean(axis=1)
+        keep = est >= thr
+        return pa.table({
+            "u": batch["u"].filter(pa.array(keep)),
+            "v": batch["v"].filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return edges.map_batches(score, batch_format="pyarrow")
+
+
 def simhash_edges(
     sigs: "ray.data.Dataset", hamming_threshold: int = 3, chunk_bits: int = 16,
     group_cap: int = 512,

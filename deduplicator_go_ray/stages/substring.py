@@ -31,22 +31,29 @@ from .joins import join_on
 
 
 def anchor_rows(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Explode (anchor, url, n_bytes) rows from the anchors column."""
+    """Explode (anchor, url, n_bytes, min_anchor) rows from the anchors
+    column.  ``min_anchor`` rides along so the pair stage knows which
+    single bucket carries each doc's "short side" candidacy — computed
+    here, while the doc's full anchor list is still in one row, so no
+    per-url shuffle is needed."""
 
     def explode(batch: pa.Table) -> pa.Table:
         anchors = batch["anchors"].to_pylist()
         urls = batch["url"].to_pylist()
         nb = batch["n_bytes"].to_pylist()
-        a_out, u_out, n_out = [], [], []
+        a_out, u_out, n_out, m_out = [], [], [], []
         for a, u, nbyte in zip(anchors, urls, nb):
             if a:
+                mn = min(a)
                 a_out.extend(a)
                 u_out.extend([u] * len(a))
                 n_out.extend([nbyte] * len(a))
+                m_out.extend([mn] * len(a))
         return pa.table({
             "anchor": pa.array(a_out, pa.int64()),
             "url": pa.array(u_out, pa.string()),
             "n_bytes": pa.array(n_out, pa.int64()),
+            "min_anchor": pa.array(m_out, pa.int64()),
         })
 
     return sigs.select_columns(["url", "anchors", "n_bytes"]).map_batches(
@@ -54,44 +61,64 @@ def anchor_rows(sigs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def candidate_pairs(
-    anchors: "ray.data.Dataset", cfg: SubstringConfig, bucket_cap: int = 256
+    anchors: "ray.data.Dataset", cfg: SubstringConfig, bucket_cap: int = 4096
 ) -> "ray.data.Dataset":
-    """groupby anchor → (short, long) pairs; then count shared anchors
-    per pair and keep pairs with ≥ min_shared_anchors."""
+    """(short, long) candidate pairs via min-anchor bucketing.
 
-    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame | None:
-        if len(g) < 2 or len(g) > bucket_cap:
-            return None
-        g = g.sort_values(["n_bytes", "url"], kind="mergesort")
-        rows = list(zip(g["url"], g["n_bytes"]))
-        pairs = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                # only (shorter ⊂ longer) is possible; require a real
-                # length gap — near-equal lengths are LSH territory
-                if rows[j][1] > rows[i][1]:
-                    pairs.append((rows[i][0], rows[j][0]))
-        return pd.DataFrame(pairs, columns=["u", "v"]) if pairs else None
+    Anchor selection depends only on window *content* (hash % modulus),
+    so if u's text is embedded verbatim in v, every anchor of u is also
+    an anchor of v — in particular u's MINIMUM anchor.  Bucketing the
+    short side by its min anchor and the long side by every anchor
+    therefore surfaces each true containment exactly once, and the
+    per-partition pair expansion is a single vectorized pandas merge —
+    no Python loop over the (near-dup-heavy) anchor groups.
+
+    Hot long-side buckets (boilerplate windows) are capped at
+    ``bucket_cap`` like the LSH bands; a short doc whose min anchor is
+    that hot is the one candidate-loss mode (logged by callers via
+    metrics, measured by the recall tests).
+    """
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["anchor", "url"])
-        counts = df.groupby("anchor")["url"].transform("size")
-        df = df[counts > 1]
-        frames = [out for _, g in df.groupby("anchor", sort=False)
-                  if (out := emit_bucket(g)) is not None]
-        if not frames:
-            return pd.DataFrame({"u": pd.Series([], dtype=str),
-                                 "v": pd.Series([], dtype=str)})
-        return pd.concat(frames)
+        # short side: the one row where this anchor is the doc's minimum
+        shorts = df[df["anchor"] == df["min_anchor"]]
+        # long side: every anchor row, hot buckets capped
+        bucket_sz = df.groupby("anchor")["url"].transform("size")
+        longs = df[bucket_sz <= bucket_cap]
+        out = shorts.merge(longs[["anchor", "url", "n_bytes"]],
+                           on="anchor", suffixes=("_u", "_v"))
+        out = out[out["n_bytes_u"] < out["n_bytes_v"]]
+        return (out[["url_u", "url_v"]]
+                .rename(columns={"url_u": "u", "url_v": "v"})
+                .drop_duplicates())
 
-    pairs = grouped_apply(anchors, ["anchor"], emit)
-    m = cfg.min_shared_anchors
+    return grouped_apply(anchors, ["anchor"], emit)
 
-    def count_shared(df: pd.DataFrame) -> pd.DataFrame:
-        cnt = df.groupby(["u", "v"], sort=False)["u"].transform("size")
-        return df[cnt >= m].drop_duplicates(["u", "v"])
 
-    return grouped_apply(pairs, ["u", "v"], count_shared)
+def verify_containment_broadcast(
+    pairs: "ray.data.Dataset", texts: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Join-free containment check: broadcast the url→text map once
+    (small-corpus plan; the partitioned-join path below is the scale
+    plan).  Exact-substring semantics, identical output."""
+    import ray as _ray
+
+    mapping: dict[str, str] = {}
+    for b in texts.select_columns(["url", "text"]).iter_batches(
+            batch_size=8192, batch_format="pyarrow"):
+        mapping.update(zip(b["url"].to_pylist(), b["text"].to_pylist()))
+    ref = _ray.put(mapping)
+
+    def check(batch: pa.Table) -> pa.Table:
+        mp = _ray.get(ref)
+        tu = [mp.get(u) for u in batch["u"].to_pylist()]
+        tv = [mp.get(v) for v in batch["v"].to_pylist()]
+        keep = [bool(a) and bool(b) and (a in b) for a, b in zip(tu, tv)]
+        m = pa.array(keep)
+        return pa.table({"u": batch["u"].filter(m), "v": batch["v"].filter(m)})
+
+    return pairs.map_batches(check, batch_format="pyarrow")
 
 
 def verify_containment(
