@@ -17,16 +17,20 @@ class MinHashConfig:
     """128-perm MinHash over character shingles.
 
     ``num_perms`` must equal ``bands * rows`` (LSH banding invariant).
-    Defaults: b=32, r=4 → LSH threshold (1/b)^(1/r) ≈ 0.42, which
-    catches the planted near-dup classes (Jaccard ≥ 0.70) with
-    probability ~1 while ``verify_threshold`` rejects boilerplate-only
-    collisions (Jaccard ≈ 0.1-0.3).
+    Defaults: b=16, r=8 → LSH threshold (1/b)^(1/r) ≈ 0.71.  The
+    engine's dup cutoff is ``verify_threshold`` = 0.80, and at J = 0.85
+    a pair still collides in ≥1 band with p ≈ 0.994 (J = 0.92 → 1-1e-5),
+    so recall for the kept tier is intact while the candidate-edge
+    volume drops orders of magnitude vs a low-threshold banding
+    (r = 8 makes boilerplate-only collisions, J ≈ 0.3, vanish at
+    p ≈ 0.3^8 per band) — candidate pruning before expensive work, the
+    reference's own design rule (files/hash.go:37-48).
     """
 
     shingle_k: int = 9           # bytes per character shingle (utf-8)
     num_perms: int = 128
-    bands: int = 32
-    rows: int = 4
+    bands: int = 16
+    rows: int = 8
     seed: int = 42
     # signature-estimated Jaccard needed to keep a candidate edge.
     # near-dup-high pairs are planted at J ≥ 0.92; estimator std at
@@ -59,7 +63,10 @@ class SubstringConfig:
     """
 
     window: int = 48
-    modulus: int = 16
+    # anchor density 1/modulus windows: 32 halves the anchor-shuffle
+    # volume vs 16; a doc at min_len still expects ~5 anchors, so the
+    # ≥1-anchor requirement for substring detection holds w.h.p.
+    modulus: int = 32
     min_len: int = 200
     min_shared_anchors: int = 2
 
@@ -150,7 +157,11 @@ class PipelineConfig:
     # dict/matrix lookup per batch — no shuffle, no aggregator actors);
     # above them the hash-partitioned join path runs.  ≙ J2/J4's
     # broadcast-small-side rule (SURVEY.md §2.4) applied adaptively.
-    broadcast_max_reps: int = 2_000_000
+    broadcast_max_reps: int = 75_000
+    # candidate/pair sets at or below this row count verify via the
+    # semi-filter + broadcast plan (verify_edges_smallset / containment
+    # smallset); bigger sets fall back to partitioned joins.
+    smallset_max_edges: int = 2_000_000
     # skip the hot-band pre-count (an extra groupby + driver collect)
     # when the band-row volume is too small for any bucket to threaten
     # a reducer; the in-partition cap still bounds pair emission.

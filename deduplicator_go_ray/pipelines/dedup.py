@@ -38,11 +38,11 @@ from ..stages.exact import add_content_key, assign_exact_groups
 from ..stages.extract import ExtractStage
 from ..stages.keeper import select_keepers
 from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
-                          simhash_edges, verify_edges, verify_edges_broadcast)
+                          simhash_edges, verify_edges, verify_edges_smallset)
 from ..stages.signatures import SignatureStage
 from ..stages.joins import broadcast_lookup, left_attach
 from ..stages.substring import (anchor_rows, candidate_pairs, verify_containment,
-                                verify_containment_broadcast)
+                                verify_containment_smallset)
 
 _EMPTY_EDGES = pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
 
@@ -81,6 +81,26 @@ def _cluster_id_of(url: str) -> str:
     return hashlib.md5(url.encode("utf-8")).hexdigest()[:16]
 
 
+class _PhaseTimer:
+    """Prints per-phase wall times when GRAFT_PHASE_TIMING=1 — the
+    pipeline's own observability hook (≙ the reference's per-run
+    self-instrumentation, files/process.go:459-465)."""
+
+    def __init__(self) -> None:
+        import os
+        import time
+        self.on = os.environ.get("GRAFT_PHASE_TIMING") == "1"
+        self.t = time.time()
+
+    def tick(self, label: str) -> None:
+        if not self.on:
+            return
+        import time
+        now = time.time()
+        print(f"[phase] {label}: {now - self.t:.2f}s", flush=True)
+        self.t = now
+
+
 def run_dedup(
     pages: "ray.data.Dataset",
     cfg: PipelineConfig | None = None,
@@ -91,6 +111,7 @@ def run_dedup(
     cluster intermediates, which are materialized (they are orders of
     magnitude smaller than the corpus after exact collapse)."""
     cfg = cfg or PipelineConfig()
+    timer = _PhaseTimer()
 
     # ---- extract + hash ----------------------------------------------------
     # default plan: task-based map stages with per-worker lazy stage
@@ -115,6 +136,7 @@ def run_dedup(
     # dataset — left lazy, the whole extract pipeline would re-execute
     # per branch (3× the heaviest map stage)
     hashed = add_content_key(extracted).materialize()
+    timer.tick("extract+hash")
     # ≙ every reference dup query excluding sentinel rows (files/utils.go:72)
     ok = hashed.map_batches(
         lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
@@ -130,13 +152,29 @@ def run_dedup(
         small = None
 
     # ---- exact dedup (shuffle on content key) ------------------------------
-    members = assign_exact_groups(ok).materialize()
+    # the groupby shuffles ONLY keys + metadata — never the text column
+    # (the single heaviest column; at web scale the dominant shuffle
+    # cost).  Representative texts are re-fetched afterwards by a
+    # broadcast semi-filter map over the (materialized) hashed corpus.
+    members = assign_exact_groups(
+        ok, keep_cols=("url", "warc_ts", "lang")).materialize()
+    timer.tick("exact_groups")
     if members.count() == 0:
         # empty / all-error corpus: only sentinel rows flow through
         assignments = ray.data.from_arrow(_EMPTY_ASSIGN)
         return _finish(assignments, err, small, num_partitions)
-    reps = members.map_batches(
-        lambda t: t.filter(t["is_rep"]), batch_format="pyarrow")
+
+    rep_urls: set[str] = set()
+    for b in members.select_columns(["url", "is_rep"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        kept = b.filter(b["is_rep"])
+        rep_urls.update(kept["url"].to_pylist())
+    from ..stages.joins import broadcast_semi_filter
+    # materialized: consumed by the signature stage AND the containment
+    # verifier — lazy, the whole corpus-wide filter would re-execute
+    reps = broadcast_semi_filter(
+        ok.select_columns(["url", "text", "n_bytes"]), "url", rep_urls).materialize()
+    timer.tick("rep_texts")
 
     # ---- signatures on representatives only (candidate pruning §7.0) -------
     sig_kwargs = {
@@ -160,12 +198,12 @@ def run_dedup(
             concurrency=cfg.signature_concurrency,
         ).materialize()
 
+    timer.tick("signatures")
     # ---- candidate edges ---------------------------------------------------
     # size-aware physical plan: small signature tables broadcast into
     # join-free verification (no shuffle, no aggregator actors); the
     # partitioned-join path is the 100 TB plan (SURVEY.md §2.4 J2/J4).
     n_reps = sigs.count()
-    use_broadcast = n_reps <= cfg.broadcast_max_reps
 
     bands = band_rows(sigs, cfg.minhash)
     if n_reps * cfg.minhash.bands >= cfg.presalt_min_band_rows:
@@ -186,19 +224,21 @@ def run_dedup(
         cands.append(simhash_edges(sigs, cfg.simhash.hamming_threshold))
     cand = cands[0].union(*cands[1:]) if len(cands) > 1 else cands[0]
 
-    if use_broadcast:
-        # duplicate candidate edges (same pair from many bands) cost one
-        # vector compare each here — cheaper than a dedupe shuffle; the
-        # union-find downstream is idempotent to repeats
-        verified = verify_edges_broadcast(cand, sigs, cfg.minhash).select_columns(["u", "v"])
+    cand = cand.materialize()
+    timer.tick("candidates")
+    n_cand = cand.count()
+    if n_cand == 0:
+        verified = ray.data.from_arrow(_EMPTY_EDGES)
+    elif n_cand <= cfg.smallset_max_edges:
+        # high-threshold banding keeps the candidate set ~O(true pairs):
+        # semi-filter the signature table to the edge endpoints and
+        # broadcast that small subset — no shuffle joins, and duplicate
+        # candidate edges (same pair from many bands) cost one vector
+        # compare each (the union-find downstream is idempotent)
+        verified = verify_edges_smallset(cand, sigs, cfg.minhash).select_columns(["u", "v"])
     else:
         cand = dedupe_rows(cand, ["u", "v"]).materialize()
-        # empty candidate sets lose their schema through the shuffle —
-        # guard the joins (≙ the reference's zero-dup early exits)
-        if cand.count() == 0:
-            verified = ray.data.from_arrow(_EMPTY_EDGES)
-        else:
-            verified = verify_edges(cand, sigs, cfg.minhash, num_partitions).select_columns(["u", "v"])
+        verified = verify_edges(cand, sigs, cfg.minhash, num_partitions).select_columns(["u", "v"])
 
     def tag(kind: str):
         def f(t: pa.Table) -> pa.Table:
@@ -211,21 +251,22 @@ def run_dedup(
     edge_sets = [verified.map_batches(tag("near"), batch_format="pyarrow")]
     if cfg.run_substring_pass:
         anchors = anchor_rows(sigs)
-        sub_pairs = candidate_pairs(anchors, cfg.substring)
-        if use_broadcast:
-            sub_edges = verify_containment_broadcast(sub_pairs, reps)
+        sub_pairs = candidate_pairs(anchors, cfg.substring).materialize()
+        timer.tick("sub_pairs")
+        n_pairs = sub_pairs.count()
+        if n_pairs == 0:
+            sub_edges = ray.data.from_arrow(_EMPTY_EDGES)
+        elif n_pairs <= cfg.smallset_max_edges:
+            sub_edges = verify_containment_smallset(sub_pairs, reps)
         else:
-            sub_pairs = sub_pairs.materialize()
-            if sub_pairs.count() == 0:
-                sub_edges = ray.data.from_arrow(_EMPTY_EDGES)
-            else:
-                sub_edges = verify_containment(sub_pairs, reps, num_partitions)
+            sub_edges = verify_containment(sub_pairs, reps, num_partitions)
         edge_sets.append(sub_edges.map_batches(tag("sub"), batch_format="pyarrow"))
 
     # ONE materialization for near+substring edges (tagged) — the
     # substring-url set is a cheap filter over it, not its own barrier
     all_tagged = edge_sets[0].union(*edge_sets[1:]) if len(edge_sets) > 1 else edge_sets[0]
     all_tagged = all_tagged.materialize()
+    timer.tick("verify+edges")
     sub_urls_tbl = (all_tagged.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "sub")), batch_format="pyarrow")
         if cfg.run_substring_pass else None)
@@ -244,7 +285,7 @@ def run_dedup(
     n_comp = rep_clusters.count()
 
     if n_comp == 0:
-        enriched = members.drop_columns(["text"]).map_batches(
+        enriched = members.map_batches(
             lambda t: t.append_column("near_root",
                                       pa.array([None] * len(t), pa.string())),
             batch_format="pyarrow")
@@ -255,11 +296,11 @@ def run_dedup(
         for b in rep_clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
             mapping.update(zip(b["url"].to_pylist(), b["root"].to_pylist()))
         enriched = broadcast_lookup(
-            members.drop_columns(["text"]), "rep_url", mapping,
+            members, "rep_url", mapping,
             "near_root", out_type=pa.string())
     else:
         enriched = left_attach(
-            members.drop_columns(["text"]),
+            members,
             rep_clusters,
             left_key="rep_url",
             right_key="url",

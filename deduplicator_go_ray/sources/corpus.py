@@ -324,13 +324,24 @@ def generate_pages(n_rows: int, seed: int = 42,
     return pages, truth_pairs
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> tuple[str, str]:
-    """Write pages.parquet + truth_pairs.parquet with fixed row-group
-    size (stable goldens).  Returns the two file paths."""
-    os.makedirs(out_dir, exist_ok=True)
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42,
+                 shards: int | None = None) -> tuple[str, str]:
+    """Write pages as a SHARDED parquet directory + truth_pairs.parquet,
+    fixed row-group size (stable goldens).  Sharding matters: a single
+    parquet file is one read task — a serial scan that caps the whole
+    pipeline's scaling (and mirrors the resumable per-partition output
+    layout the engine itself writes).  Returns (pages_dir, truth_path)."""
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
     pages, truth = generate_pages(n_rows, seed)
-    p1 = os.path.join(out_dir, "pages.parquet")
+    if shards is None:
+        shards = max(1, min(64, n_rows // 2048))
+    per = (len(pages) + shards - 1) // shards
+    for i in range(shards):
+        part = pages.slice(i * per, per)
+        if len(part):
+            pq.write_table(part, os.path.join(pages_dir, f"part-{i:04d}.parquet"),
+                           row_group_size=2048)
     p2 = os.path.join(out_dir, "truth_pairs.parquet")
-    pq.write_table(pages, p1, row_group_size=2048)
     pq.write_table(truth, p2, row_group_size=8192)
-    return p1, p2
+    return pages_dir, p2

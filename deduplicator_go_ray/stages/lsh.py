@@ -180,38 +180,103 @@ def verify_edges(
     return both.map_batches(score, batch_format="pyarrow")
 
 
+# per-worker cache of deserialized broadcast indexes, keyed by the
+# object refs — built once per worker process, reused by every task
+_BCAST_CACHE: dict = {}
+
+
+def block_refs_of(ds: "ray.data.Dataset") -> list:
+    """Object refs of a materialized Dataset's blocks — the broadcast
+    handle: shipping refs costs nothing, workers fetch the Arrow blocks
+    zero-copy from the object store (no driver-side pull, no 100s-of-MB
+    pickled dict — both of which serialize on the driver and then
+    re-deserialize per worker)."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def _worker_index(refs: tuple, columns: tuple[str, ...]):
+    """(pandas.Index over column0, [column1 arrays...]) built once per
+    worker from broadcast block refs."""
+    key = (refs, columns)
+    hit = _BCAST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pandas as pd
+    tables = ray.get(list(refs))  # blocks are pyarrow Tables
+    # empty blocks (zero-row filter outputs) may carry no schema — skip
+    usable = [t for t in tables
+              if len(t) and all(c in t.column_names for c in columns)]
+    if not usable:
+        out = (pd.Index([]), [pa.chunked_array([], pa.null()) for _ in columns[1:]])
+        _BCAST_CACHE[key] = out
+        return out
+    tbl = pa.concat_tables([t.select(list(columns)) for t in usable])
+    idx = pd.Index(tbl[columns[0]].to_pandas())
+    payload = [tbl[c] for c in columns[1:]]
+    out = (idx, payload)
+    _BCAST_CACHE[key] = out
+    return out
+
+
+def edge_urls(edges: "ray.data.Dataset") -> set:
+    """Distinct endpoint urls of a (small, materialized) edge set."""
+    urls: set = set()
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        urls.update(b["u"].to_pylist())
+        urls.update(b["v"].to_pylist())
+    return urls
+
+
+def verify_edges_smallset(
+    edges: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    cfg: MinHashConfig,
+) -> "ray.data.Dataset":
+    """Verification plan for SMALL edge sets over LARGE signature
+    tables: semi-filter the signature table to the edge endpoints
+    (broadcast url set, one parallel map pass, no shuffle), then
+    broadcast the now-small signature subset for direct-index
+    verification.  With high-threshold banding the candidate set is
+    ~O(true pairs), so this is the common plan; the partitioned-join
+    path remains for candidate floods."""
+    from .joins import broadcast_semi_filter
+
+    urls = edge_urls(edges)
+    skinny = broadcast_semi_filter(
+        sigs.select_columns(["url", "minhash"]), "url", urls)
+    return verify_edges_broadcast(edges, skinny, cfg)
+
+
 def verify_edges_broadcast(
     edges: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
     cfg: MinHashConfig,
 ) -> "ray.data.Dataset":
     """Join-free verification for corpora whose signature table fits the
-    object store comfortably (≤ ``broadcast_max_reps`` rows ≈ 1 GiB at
-    128 perms): the (url→row, signature-matrix) pair is ``ray.put`` once
-    and every edge batch verifies by direct indexing.  Semantically
+    object store comfortably: the skinny (url, minhash) table's block
+    refs are shipped to every task; each worker builds a lookup index
+    once and verifies edge batches by direct indexing.  Semantically
     identical to :func:`verify_edges`; the join path remains the
     100 TB-scale plan."""
     P = cfg.num_perms
-    urls: list[str] = []
-    mats: list[np.ndarray] = []
-    for b in sigs.select_columns(["url", "minhash"]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
-        urls.extend(b["url"].to_pylist())
-        mats.append(np.asarray(b["minhash"].combine_chunks().flatten())
-                    .reshape(len(b), P))
-    mat = np.concatenate(mats) if mats else np.empty((0, P), np.uint64)
-    index = {u: i for i, u in enumerate(urls)}
-    ref = ray.put((index, mat))
+    skinny = sigs.select_columns(["url", "minhash"]).materialize()
+    refs = tuple(block_refs_of(skinny))
     thr = cfg.verify_threshold
 
     def score(batch: pa.Table) -> pa.Table:
-        idx, m = ray.get(ref)
-        us = batch["u"].to_pylist()
-        vs = batch["v"].to_pylist()
-        iu = np.array([idx.get(u, -1) for u in us], dtype=np.int64)
-        iv = np.array([idx.get(v, -1) for v in vs], dtype=np.int64)
+        idx, (mh,) = _worker_index(refs, ("url", "minhash"))
+        key = (refs, "sigmat")
+        m = _BCAST_CACHE.get(key)
+        if m is None:
+            m = np.asarray(mh.combine_chunks().flatten()).reshape(len(idx), P)
+            _BCAST_CACHE[key] = m
+        iu = idx.get_indexer(batch["u"].to_pandas())
+        iv = idx.get_indexer(batch["v"].to_pandas())
         ok = (iu >= 0) & (iv >= 0)
-        est = np.zeros(len(us))
+        est = np.zeros(len(batch))
         if ok.any():
             est[ok] = (m[iu[ok]] == m[iv[ok]]).mean(axis=1)
         keep = est >= thr

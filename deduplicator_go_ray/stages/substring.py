@@ -96,25 +96,46 @@ def candidate_pairs(
     return grouped_apply(anchors, ["anchor"], emit)
 
 
+def verify_containment_smallset(
+    pairs: "ray.data.Dataset", texts: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Containment plan for SMALL pair sets over LARGE corpora:
+    semi-filter the text table to the pair endpoints first (broadcast
+    url set — no shuffle), then broadcast the small text subset."""
+    from .joins import broadcast_semi_filter
+    from .lsh import edge_urls
+
+    urls = edge_urls(pairs)
+    skinny = broadcast_semi_filter(
+        texts.select_columns(["url", "text"]), "url", urls)
+    return verify_containment_broadcast(pairs, skinny)
+
+
 def verify_containment_broadcast(
     pairs: "ray.data.Dataset", texts: "ray.data.Dataset"
 ) -> "ray.data.Dataset":
-    """Join-free containment check: broadcast the url→text map once
-    (small-corpus plan; the partitioned-join path below is the scale
-    plan).  Exact-substring semantics, identical output."""
-    import ray as _ray
+    """Join-free containment check: the (url, text) table's block refs
+    are broadcast; each worker builds its lookup index once (zero-copy
+    Arrow from the object store — no driver-side dict pull).  Exact
+    substring semantics; the partitioned-join path below is the scale
+    plan."""
+    from .lsh import _worker_index, block_refs_of
 
-    mapping: dict[str, str] = {}
-    for b in texts.select_columns(["url", "text"]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
-        mapping.update(zip(b["url"].to_pylist(), b["text"].to_pylist()))
-    ref = _ray.put(mapping)
+    skinny = texts.select_columns(["url", "text"]).materialize()
+    refs = tuple(block_refs_of(skinny))
 
     def check(batch: pa.Table) -> pa.Table:
-        mp = _ray.get(ref)
-        tu = [mp.get(u) for u in batch["u"].to_pylist()]
-        tv = [mp.get(v) for v in batch["v"].to_pylist()]
-        keep = [bool(a) and bool(b) and (a in b) for a, b in zip(tu, tv)]
+        idx, (txt,) = _worker_index(refs, ("url", "text"))
+        iu = idx.get_indexer(batch["u"].to_pandas())
+        iv = idx.get_indexer(batch["v"].to_pandas())
+        keep = []
+        for a, b in zip(iu, iv):
+            if a < 0 or b < 0:
+                keep.append(False)
+                continue
+            ta = txt[int(a)].as_py()
+            tb = txt[int(b)].as_py()
+            keep.append(bool(ta) and bool(tb) and (ta in tb))
         m = pa.array(keep)
         return pa.table({"u": batch["u"].filter(m), "v": batch["v"].filter(m)})
 
