@@ -121,17 +121,26 @@ def run_dedup(
     # explicit cfg.signature_concurrency switches to actor pools — the
     # right plan when stage state is genuinely heavy (model weights,
     # multimodal decoders).
-    if cfg.signature_concurrency is None:
-        extract_fn = _extract_cached
+    in_schema = pages.schema()
+    in_cols = list(in_schema.names) if in_schema is not None else []
+    if in_cols and "html" not in in_cols:
+        # pre-extracted input (e.g. resuming from the extract+hash
+        # checkpoint): text + error columns already present, skip the
+        # extract stage entirely
+        extracted = pages
+    elif cfg.signature_concurrency is None:
+        extracted = pages.map_batches(
+            _extract_cached,
+            batch_format="pyarrow",
+            batch_size=cfg.signature_batch_size,
+        )
     else:
-        extract_fn = ExtractStage
-    extracted = pages.map_batches(
-        extract_fn,
-        batch_format="pyarrow",
-        batch_size=cfg.signature_batch_size,
-        **({} if cfg.signature_concurrency is None
-           else {"concurrency": cfg.signature_concurrency}),
-    )
+        extracted = pages.map_batches(
+            ExtractStage,
+            batch_format="pyarrow",
+            batch_size=cfg.signature_batch_size,
+            concurrency=cfg.signature_concurrency,
+        )
     # materialize ONCE: the ok/err/small branches below each consume this
     # dataset — left lazy, the whole extract pipeline would re-execute
     # per branch (3× the heaviest map stage)

@@ -1,0 +1,197 @@
+"""Checkpointed, resumable runs with per-partition lineage + metrics.
+
+The reference's resume model is a *predicated re-run*: completed work is
+visible in shared state (``hash IS NOT NULL``) and the next run's WHERE
+clause skips it (``files/hash.go:18-35``), with keyset bookmarks inside
+a run (``files/hash.go:271-276``).  Here the same contract is expressed
+Ray-natively:
+
+* every row gets a deterministic ``partition_id`` = hash64(url) % P —
+  the lineage unit (pure function of the row, independent of cluster
+  size or block layout);
+* a checkpointed stage writes ONE parquet file per partition with an
+  atomic tmp→rename, so a file's existence IS the completion marker
+  (no separate manifest to get out of sync — idempotent like the
+  reference's ``ON CONFLICT`` upserts, ``files/process.go:53-58``);
+* resume = anti-join input against the done-partition set (a broadcast
+  of ≤P small ints) and recompute only the missing partitions;
+* each partition write also emits a METRICS_SCHEMA row (rows, errors,
+  wall seconds) — the per-partition lineage + metrics the north rule
+  requires.
+
+Because every per-group decision downstream is a pure function of group
+content, re-running the cheap cluster stages on top of checkpointed
+per-row stages reproduces byte-identical assignments — "any partition's
+dedup decisions are replayable".
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.hashing import hash64_str
+from ..stages.common import grouped_apply
+
+PART_SEED = 7  # must match pipelines.dedup lineage hashing
+
+
+def add_partition_id(ds: "ray.data.Dataset", num_partitions: int,
+                     url_col: str = "url") -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        pid = (hash64_str(batch[url_col].to_pylist(), seed=PART_SEED)
+               % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("partition_id", pa.array(pid, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def done_partitions(out_dir: str) -> set[int]:
+    """Partition ids whose final output file exists (atomic renames only)."""
+    if not os.path.isdir(out_dir):
+        return set()
+    done = set()
+    for name in os.listdir(out_dir):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            done.add(int(name[5:-8]))
+    return done
+
+
+def checkpointed_write(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    num_partitions: int,
+    stage: str,
+    url_col: str = "url",
+    fail_after: int | None = None,
+) -> pd.DataFrame:
+    """Write `ds` as per-partition parquet under `out_dir`, skipping
+    partitions already on disk.  Returns the metrics frame (one row per
+    partition written this run).  ``fail_after`` aborts after that many
+    partition writes — the crash-injection hook the resume tests use.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = done_partitions(out_dir)
+    with_pid = (ds if "partition_id" in (ds.schema().names or [])
+                else add_partition_id(ds, num_partitions, url_col))
+    todo = with_pid
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            pid = np.asarray(batch["partition_id"], dtype=np.int64)
+            return batch.filter(pa.array(~np.isin(pid, done_arr)))
+
+        todo = with_pid.map_batches(drop_done, batch_format="pyarrow")
+
+    counter_path = os.path.join(out_dir, ".written_this_run")
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        frames = []
+        for pid, g in df.groupby("partition_id", sort=True):
+            pid = int(pid)
+            if fail_after is not None:
+                # crude cross-task counter via marker files (test hook)
+                n_before = len(done_partitions(out_dir))
+                if n_before >= fail_after:
+                    raise RuntimeError(f"injected failure after {fail_after} partitions")
+            g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
+            final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp,
+                           row_group_size=65536)
+            os.replace(tmp, final)  # atomic: exists == complete
+            errors = int(g["error"].notna().sum()) if "error" in g.columns else 0
+            frames.append(pd.DataFrame({
+                "partition_id": [pid], "stage": [stage],
+                "rows_in": [len(g)], "rows_out": [len(g)],
+                "errors": [errors], "wall_s": [time.time() - t0],
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "partition_id": pd.Series(dtype="int64"),
+                "stage": pd.Series(dtype=str),
+                "rows_in": pd.Series(dtype="int64"),
+                "rows_out": pd.Series(dtype="int64"),
+                "errors": pd.Series(dtype="int64"),
+                "wall_s": pd.Series(dtype="float64"),
+            })
+        return pd.concat(frames)
+
+    metrics = grouped_apply(todo, ["partition_id"], write_part,
+                            num_partitions=num_partitions).to_pandas()
+    return metrics
+
+
+def read_checkpoint(out_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(out_dir)
+
+
+def run_dedup_checkpointed(
+    pages: "ray.data.Dataset",
+    out_dir: str,
+    cfg=None,
+    num_partitions: int = 64,
+    fail_after: int | None = None,
+) -> "ray.data.Dataset":
+    """Resumable flagship run.
+
+    Stage A (expensive, per-row): extract + content-key → checkpointed
+    per partition under ``{out_dir}/hashed``.  A re-run recomputes ONLY
+    missing partitions (predicated re-run ≙ ``hash IS NULL``).
+
+    Stage B (cheap, global): the cluster/keeper pipeline re-runs over
+    the checkpointed rows — deterministic, so the final assignments are
+    identical whether or not the run was interrupted — and lands
+    per-partition under ``{out_dir}/assignments`` the same way.
+
+    Metrics rows accumulate under ``{out_dir}/metrics``.
+    """
+    from ..config import PipelineConfig
+    from ..pipelines.dedup import run_dedup
+    from ..stages.exact import add_content_key
+    from ..stages.extract import ExtractStage
+
+    cfg = cfg or PipelineConfig()
+    hashed_dir = os.path.join(out_dir, "hashed")
+    assign_dir = os.path.join(out_dir, "assignments")
+    metrics_dir = os.path.join(out_dir, "metrics")
+
+    # ---- stage A: per-row extract+hash, checkpointed ----------------------
+    extracted = pages.map_batches(
+        lambda b: ExtractStage()(b), batch_format="pyarrow",
+        batch_size=cfg.signature_batch_size)
+    hashed = add_content_key(extracted)
+    m1 = checkpointed_write(hashed, hashed_dir, num_partitions,
+                            stage="extract_hash", fail_after=fail_after)
+
+    # ---- stage B: global dedup over checkpointed rows ---------------------
+    hashed_all = read_checkpoint(hashed_dir)
+    # no html column → run_dedup skips its extract stage and dedups the
+    # checkpointed (text, error) rows directly; the content key is
+    # recomputed (cheap) so the column set matches the normal path
+    assignments = run_dedup(
+        hashed_all.map_batches(
+            lambda t: t.drop_columns(
+                [c for c in ("text_sha256", "n_bytes", "partition_id")
+                 if c in t.column_names]),
+            batch_format="pyarrow"),
+        cfg)
+    m2 = checkpointed_write(assignments, assign_dir, num_partitions,
+                            stage="assignments")
+
+    # ---- metrics ----------------------------------------------------------
+    os.makedirs(metrics_dir, exist_ok=True)
+    metrics = pd.concat([m1, m2], ignore_index=True)
+    if len(metrics):
+        pq.write_table(
+            pa.Table.from_pandas(metrics, preserve_index=False),
+            os.path.join(metrics_dir, f"run-{int(max(os.getpid(), 1))}-{len(metrics)}.parquet"))
+    return read_checkpoint(assign_dir)

@@ -1,0 +1,99 @@
+"""Checkpoint/resume conformance (FIXTURES.md §2 "resume" scenario):
+kill after k partitions, restart, final output byte-identical to an
+uninterrupted run; completed partitions are not recomputed."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+import ray.data
+
+from deduplicator_go_ray.sources.corpus import generate_pages
+from deduplicator_go_ray.state.checkpoint import (
+    checkpointed_write, done_partitions, run_dedup_checkpointed)
+
+N_ROWS = 300
+P = 8
+
+
+@pytest.fixture(scope="module")
+def pages_tbl(ray_session):
+    return generate_pages(N_ROWS, seed=42)[0]
+
+
+def _assignments(d: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return (pq.read_table(d).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+
+
+def test_crash_then_resume_is_byte_identical(pages_tbl, tmp_path, ray_session):
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+
+    run_dedup_checkpointed(ray.data.from_arrow(pages_tbl), clean_dir,
+                           num_partitions=P)
+    assert len(done_partitions(os.path.join(clean_dir, "assignments"))) == P
+
+    # interrupted run: injected failure after 3 hashed partitions
+    with pytest.raises(Exception):
+        run_dedup_checkpointed(ray.data.from_arrow(pages_tbl), crash_dir,
+                               num_partitions=P, fail_after=3)
+    n_done = len(done_partitions(os.path.join(crash_dir, "hashed")))
+    assert 0 < n_done < P, "crash should leave a partial checkpoint"
+
+    # resume: completes the remaining partitions only
+    before = {
+        pid: os.path.getmtime(
+            os.path.join(crash_dir, "hashed", f"part-{pid:05d}.parquet"))
+        for pid in done_partitions(os.path.join(crash_dir, "hashed"))
+    }
+    run_dedup_checkpointed(ray.data.from_arrow(pages_tbl), crash_dir,
+                           num_partitions=P)
+    after_done = done_partitions(os.path.join(crash_dir, "hashed"))
+    assert len(after_done) == P
+    for pid, mtime in before.items():
+        assert os.path.getmtime(
+            os.path.join(crash_dir, "hashed", f"part-{pid:05d}.parquet")
+        ) == mtime, "completed partitions must not be recomputed"
+
+    a = _assignments(os.path.join(clean_dir, "assignments"))
+    b = _assignments(os.path.join(crash_dir, "assignments"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_metrics_written(pages_tbl, tmp_path, ray_session):
+    out = str(tmp_path / "m")
+    run_dedup_checkpointed(ray.data.from_arrow(pages_tbl), out,
+                           num_partitions=P)
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(out, "metrics")
+    files = os.listdir(mdir)
+    assert files
+    m = pq.read_table(os.path.join(mdir, files[0])).to_pandas()
+    assert set(m["stage"]) == {"extract_hash", "assignments"}
+    by_stage = m.groupby("stage")["rows_in"].sum()
+    assert by_stage["extract_hash"] == N_ROWS
+    assert by_stage["assignments"] == N_ROWS
+    assert (m["wall_s"] > 0).all()
+    # error rows accounted in lineage (corpus plants ~1% error rows)
+    assert m[m["stage"] == "extract_hash"]["errors"].sum() >= 1
+
+
+def test_checkpointed_write_skips_done(pages_tbl, tmp_path, ray_session):
+    from deduplicator_go_ray.stages.exact import add_content_key
+    from deduplicator_go_ray.stages.extract import ExtractStage
+
+    ds = ray.data.from_arrow(pages_tbl).map_batches(
+        lambda b: ExtractStage()(b), batch_format="pyarrow")
+    hashed = add_content_key(ds)
+    out = str(tmp_path / "w")
+    m1 = checkpointed_write(hashed, out, P, stage="s")
+    assert len(m1) == P
+    m2 = checkpointed_write(hashed, out, P, stage="s")
+    assert len(m2) == 0, "second run writes nothing (all partitions done)"

@@ -1,0 +1,88 @@
+"""Multimodal stage plumbing tests: schema, actor-pool signature,
+deterministic fake decode, error sentinels, frame sampling, dedup."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from deduplicator_go_ray.stages.multimodal import (
+    FEATURE_DIM, FrameSampleStage, MEDIA_SCHEMA, MediaFeatureStage,
+    media_dedup_by_feature)
+
+
+def _media_table(n: int = 20) -> pa.Table:
+    rows = {k: [] for k in
+            ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")}
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i // 2}".encode()).digest() * 200
+        rows["media_id"].append(f"m{i:04d}")
+        rows["kind"].append(["image", "audio", "video"][i % 3])
+        # two ids share each payload → planted exact-dup pairs
+        rows["payload"].append(payload if i % 7 else b"")  # every 7th: empty → error
+        rows["mime"].append("application/octet-stream")
+        rows["width"].append(64 if i % 3 == 0 else -1)
+        rows["height"].append(64 if i % 3 == 0 else -1)
+        rows["duration_ms"].append(9000 if i % 3 == 2 else -1)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def test_feature_stage_contract(ray_session):
+    ds = ray.data.from_arrow(_media_table())
+    out = ds.map_batches(MediaFeatureStage, concurrency=2, batch_size=8,
+                         batch_format="pyarrow").to_pandas()
+    assert len(out) == 20
+    assert "payload" not in out.columns          # wide column dropped
+    feats = np.array(out["features"].tolist())
+    assert feats.shape == (20, FEATURE_DIM)
+    # empty payloads → in-band DECODE_ERROR, zero features
+    errs = out[out["error"].notna()]
+    assert len(errs) == 3                        # ids 0, 7, 14
+    assert (np.array(errs["features"].tolist()) == 0).all()
+
+
+def test_feature_stage_deterministic(ray_session):
+    ds = ray.data.from_arrow(_media_table())
+    a = ds.map_batches(MediaFeatureStage, concurrency=2, batch_size=4,
+                       batch_format="pyarrow").to_pandas().sort_values("media_id")
+    b = ds.repartition(5).map_batches(
+        MediaFeatureStage, concurrency=1, batch_size=16,
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    assert np.array_equal(np.array(a["features"].tolist()),
+                          np.array(b["features"].tolist()))
+
+
+def test_real_decoder_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        MediaFeatureStage(decoder="real")
+
+
+def test_frame_sampling(ray_session):
+    tbl = _media_table()
+    vids = tbl.filter(pa.compute.equal(tbl["kind"], "video"))
+    ds = ray.data.from_arrow(vids)
+    out = ds.map_batches(FrameSampleStage, concurrency=1, batch_size=8,
+                         batch_format="pyarrow").to_pandas()
+    nonempty = len([p for p in vids["payload"].to_pylist() if p])
+    assert len(out) == nonempty * 4              # 4 frames per decodable video
+    # offsets deterministic and within duration
+    assert set(out["frame_offset_ms"]) == {0, 2250, 4500, 6750}
+
+
+def test_media_dedup_pairs(ray_session):
+    ds = ray.data.from_arrow(_media_table())
+    pairs = media_dedup_by_feature(ds, threshold=0.999).to_pandas()
+    got = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # payload shared by (2k, 2k+1) except error rows → those exact pairs
+    expect = set()
+    for k in range(10):
+        a, b = f"m{2 * k:04d}", f"m{2 * k + 1:04d}"
+        if 2 * k % 7 and (2 * k + 1) % 7:
+            expect.add((a, b))
+    assert expect <= got
+    # no cross-payload false positives at this threshold
+    assert got == expect
