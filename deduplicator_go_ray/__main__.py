@@ -1,0 +1,130 @@
+"""CLI entry points — the reference's command surface re-expressed.
+
+``python -m deduplicator_go_ray <cmd>``:
+
+* ``run``     ≙ `files hash` + `files list-dupes --run` collapsed into the
+              one-DAG flagship pipeline (SURVEY.md §3.4); writes
+              per-partition assignments (+ lineage/metrics when
+              ``--checkpointed``, resumable by re-invoking).
+* ``report``  ≙ `files list-dupes` read path (files/utils.go:39-159):
+              top-k duplicate clusters by reclaimable bytes with the
+              deterministic tiebreak ordering.
+* ``corpus``  — generate the deterministic synthetic pages corpus
+              (FIXTURES.md §1) for tests/benchmarks.
+
+Only CLI mains own a Ray session (guarded init); library code never
+calls ray.init (driver contract, __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    ray = _ray()
+    import ray.data
+
+    from .config import KeeperPolicy, MinHashConfig, PipelineConfig
+    from .pipelines.dedup import run_dedup
+    from .state.checkpoint import run_dedup_checkpointed
+
+    cfg = PipelineConfig(
+        min_size=args.min_size,
+        keeper=KeeperPolicy(policy=args.keeper),
+        run_substring_pass=not args.no_substring,
+        run_simhash=not args.no_simhash,
+    )
+    pages = ray.data.read_parquet(args.input)
+    if args.count:
+        pages = pages.limit(args.count)       # ≙ --count caps (files/types.go)
+    if args.checkpointed:
+        out = run_dedup_checkpointed(pages, args.output,
+                                     cfg=cfg, num_partitions=args.partitions)
+        n = out.count()
+    else:
+        ds = run_dedup(pages, cfg)
+        ds.write_parquet(args.output)
+        n = ds.count()
+    print(json.dumps({"assignments": n, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    ray = _ray()
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(args.input)
+    agg = ds.groupby("cluster_id").aggregate(
+        Count(alias_name="copies"), Sum("n_bytes", alias_name="total_size"))
+    dups = agg.filter(expr="copies > 1")
+    # ≙ ORDER BY total_size DESC + deterministic tiebreak (files/utils.go:107)
+    top = dups.sort(["total_size", "cluster_id"],
+                    descending=[True, False]).limit(args.top).take_all()
+    reclaimable = 0
+    for row in top:
+        per = row["total_size"] // row["copies"]
+        reclaimable += row["total_size"] - per
+        print(f"{row['cluster_id']}  copies={row['copies']}  "
+              f"total={row['total_size']}  reclaimable={row['total_size'] - per}")
+    print(f"top-{len(top)} reclaimable bytes: {reclaimable}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_corpus(args: argparse.Namespace) -> int:
+    from .sources.corpus import write_corpus
+
+    pages_dir, truth = write_corpus(args.output, args.rows, seed=args.seed)
+    print(json.dumps({"pages": pages_dir, "truth_pairs": truth}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="deduplicator_go_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="dedup a pages parquet table")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--checkpointed", action="store_true")
+    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--min-size", type=int, default=0)
+    r.add_argument("--count", type=int, default=0)
+    r.add_argument("--keeper", default="deterministic",
+                   choices=["deterministic", "site_popularity", "priority_limits"])
+    r.add_argument("--no-substring", action="store_true")
+    r.add_argument("--no-simhash", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    rep = sub.add_parser("report", help="top-k duplicate clusters")
+    rep.add_argument("--input", required=True)
+    rep.add_argument("--top", type=int, default=20)
+    rep.set_defaults(fn=cmd_report)
+
+    c = sub.add_parser("corpus", help="generate the synthetic pages corpus")
+    c.add_argument("--output", required=True)
+    c.add_argument("--rows", type=int, default=5000)
+    c.add_argument("--seed", type=int, default=42)
+    c.set_defaults(fn=cmd_corpus)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,12 +37,12 @@ from ..stages.common import dedupe_rows, grouped_apply
 from ..stages.exact import add_content_key, assign_exact_groups
 from ..stages.extract import ExtractStage
 from ..stages.keeper import select_keepers
-from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
-                          simhash_edges, verify_edges, verify_edges_smallset)
-from ..stages.signatures import SignatureStage
+from ..stages.buckets import (KIND_ANCHOR, KIND_BAND, bucket_rows,
+                              candidate_edges_fused, verify_containment_edges,
+                              verify_near_edges)
 from ..stages.joins import broadcast_lookup, left_attach
-from ..stages.substring import (anchor_rows, candidate_pairs, verify_containment,
-                                verify_containment_smallset)
+from ..stages.lsh import band_rows, candidate_edges, hot_band_keys, salt_bands
+from ..stages.signatures import SignatureStage
 
 _EMPTY_EDGES = pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
 
@@ -65,6 +65,15 @@ def _signature_cached(batch: pa.Table, **kwargs) -> pa.Table:
     if st is None:
         st = _STAGE_CACHE[key] = SignatureStage(**kwargs)
     return st(batch)
+
+
+def _signature_slim(batch: pa.Table, **kwargs) -> pa.Table:
+    """Signature stage + drop the text column: the signature table is
+    materialized and re-read by several consumers — the wide text column
+    would ride along through all of them (containment pulls texts from
+    the reps dataset instead)."""
+    out = _signature_cached(batch, **kwargs)
+    return out.drop_columns(["text"]) if "text" in out.column_names else out
 
 _EMPTY_ASSIGN = pa.table({
     "url": pa.array([], pa.string()),
@@ -194,7 +203,7 @@ def run_dedup(
     }
     if cfg.signature_concurrency is None:
         sigs = reps.map_batches(
-            functools.partial(_signature_cached, **sig_kwargs),
+            functools.partial(_signature_slim, **sig_kwargs),
             batch_format="pyarrow",
             batch_size=cfg.signature_batch_size,
         ).materialize()
@@ -205,113 +214,108 @@ def run_dedup(
             batch_format="pyarrow",
             batch_size=cfg.signature_batch_size,
             concurrency=cfg.signature_concurrency,
+        ).map_batches(
+            lambda t: t.drop_columns(["text"]) if "text" in t.column_names else t,
+            batch_format="pyarrow",
         ).materialize()
 
     timer.tick("signatures")
-    # ---- candidate edges ---------------------------------------------------
-    # size-aware physical plan: small signature tables broadcast into
-    # join-free verification (no shuffle, no aggregator actors); the
-    # partitioned-join path is the 100 TB plan (SURVEY.md §2.4 J2/J4).
+    # ---- candidate edges: ONE fused bucket shuffle -------------------------
+    # LSH bands + SimHash chunks + substring anchors share one groupby
+    # over skinny int64 rows (uid keys, not url strings) — see
+    # stages/buckets.py.  The legacy per-family stages in stages/lsh.py
+    # and stages/substring.py remain the standalone-query and
+    # presalted-at-scale building blocks.
     n_reps = sigs.count()
-
-    bands = band_rows(sigs, cfg.minhash)
     if n_reps * cfg.minhash.bands >= cfg.presalt_min_band_rows:
-        # hot-band pre-count + salting: required once a single band
-        # bucket could overwhelm a reducer (north-rule skew handling)
+        # beyond this volume a single hot band bucket can overwhelm one
+        # reducer — run the pre-counted salted path for bands and fuse
+        # only simhash+anchors (north-rule skew handling)
+        bands = band_rows(sigs, cfg.minhash)
         hot = hot_band_keys(bands, cfg.lsh)
         salted = salt_bands(bands, hot, cfg.lsh)
-    else:
-        # in-partition caps still bound pair emission; the pre-count
-        # would be pure fixed cost at this volume
-        salted = bands.map_batches(
-            lambda t: t.append_column(
-                "salt", pa.array(np.zeros(len(t), np.int32), pa.int32())),
-            batch_format="pyarrow")
-    lsh_cand = candidate_edges(salted, cfg.lsh)
-    cands = [lsh_cand]
-    if cfg.run_simhash:
-        cands.append(simhash_edges(sigs, cfg.simhash.hamming_threshold))
-    cand = cands[0].union(*cands[1:]) if len(cands) > 1 else cands[0]
+        lsh_cand_urls = candidate_edges(salted, cfg.lsh)
 
-    cand = cand.materialize()
+        def to_uid_edges(t: pa.Table) -> pa.Table:
+            from ..stages.buckets import KIND_BAND, uid_of_urls
+            return pa.table({
+                "u": pa.array(uid_of_urls(t["u"].to_pylist()), pa.int64()),
+                "v": pa.array(uid_of_urls(t["v"].to_pylist()), pa.int64()),
+                "kind": pa.array(np.full(len(t), KIND_BAND, np.int8), pa.int8()),
+            })
+
+        band_edges = lsh_cand_urls.map_batches(to_uid_edges, batch_format="pyarrow")
+        buckets = bucket_rows(sigs, cfg.minhash,
+                              cfg.simhash if cfg.run_simhash else None,
+                              with_anchors=cfg.run_substring_pass)
+        other = candidate_edges_fused(
+            buckets.filter(expr=f"kind != {KIND_BAND}"),
+            cfg.lsh, cfg.simhash.hamming_threshold)
+        cand = band_edges.union(other).materialize()
+    else:
+        buckets = bucket_rows(sigs, cfg.minhash,
+                              cfg.simhash if cfg.run_simhash else None,
+                              with_anchors=cfg.run_substring_pass)
+        cand = candidate_edges_fused(
+            buckets, cfg.lsh, cfg.simhash.hamming_threshold).materialize()
     timer.tick("candidates")
+
+    _empty_uid_edges = pa.table({
+        "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+        "kind": pa.array([], pa.int8()),
+    })
     n_cand = cand.count()
     if n_cand == 0:
-        verified = ray.data.from_arrow(_EMPTY_EDGES)
-    elif n_cand <= cfg.smallset_max_edges:
-        # high-threshold banding keeps the candidate set ~O(true pairs):
-        # semi-filter the signature table to the edge endpoints and
-        # broadcast that small subset — no shuffle joins, and duplicate
-        # candidate edges (same pair from many bands) cost one vector
-        # compare each (the union-find downstream is idempotent)
-        verified = verify_edges_smallset(cand, sigs, cfg.minhash).select_columns(["u", "v"])
+        all_tagged = ray.data.from_arrow(_empty_uid_edges).materialize()
     else:
-        cand = dedupe_rows(cand, ["u", "v"]).materialize()
-        verified = verify_edges(cand, sigs, cfg.minhash, num_partitions).select_columns(["u", "v"])
-
-    def tag(kind: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "u": t["u"], "v": t["v"],
-                "kind": pa.array([kind] * len(t), pa.string()),
-            })
-        return f
-
-    edge_sets = [verified.map_batches(tag("near"), batch_format="pyarrow")]
-    if cfg.run_substring_pass:
-        anchors = anchor_rows(sigs)
-        sub_pairs = candidate_pairs(anchors, cfg.substring).materialize()
-        timer.tick("sub_pairs")
-        n_pairs = sub_pairs.count()
-        if n_pairs == 0:
-            sub_edges = ray.data.from_arrow(_EMPTY_EDGES)
-        elif n_pairs <= cfg.smallset_max_edges:
-            sub_edges = verify_containment_smallset(sub_pairs, reps)
-        else:
-            sub_edges = verify_containment(sub_pairs, reps, num_partitions)
-        edge_sets.append(sub_edges.map_batches(tag("sub"), batch_format="pyarrow"))
-
-    # ONE materialization for near+substring edges (tagged) — the
-    # substring-url set is a cheap filter over it, not its own barrier
-    all_tagged = edge_sets[0].union(*edge_sets[1:]) if len(edge_sets) > 1 else edge_sets[0]
-    all_tagged = all_tagged.materialize()
+        near_cand = cand.filter(expr=f"kind != {KIND_ANCHOR}")
+        edge_sets = [verify_near_edges(near_cand, sigs, cfg.minhash)]
+        if cfg.run_substring_pass:
+            sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
+            edge_sets.append(verify_containment_edges(sub_cand, reps))
+        all_tagged = (edge_sets[0].union(*edge_sets[1:])
+                      if len(edge_sets) > 1 else edge_sets[0]).materialize()
     timer.tick("verify+edges")
-    sub_urls_tbl = (all_tagged.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "sub")), batch_format="pyarrow")
-        if cfg.run_substring_pass else None)
+
+    sub_uids: set[int] = set()
+    sub_tbl = all_tagged.filter(expr=f"kind == {KIND_ANCHOR}")
+    for b in sub_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        sub_uids.update(b["u"].to_pylist())
+        sub_uids.update(b["v"].to_pylist())
     all_edges = all_tagged.select_columns(["u", "v"])
 
     # ---- components → rep cluster assignment -------------------------------
-    comp = resolve_components(all_edges, cfg.driver_dsu_max_edges)  # (url, root)
-    sub_urls: set[str] = set()
-    if sub_urls_tbl is not None:
-        for b in sub_urls_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            sub_urls.update(b["u"].to_pylist())
-            sub_urls.update(b["v"].to_pylist())
-
-    # members: url, rep_url, exact_size, n_bytes, lang, warc_ts
-    rep_clusters = comp.materialize()  # rep urls only (edges were rep-level)
+    comp = resolve_components(all_edges, cfg.driver_dsu_max_edges,
+                              key_type=pa.int64())  # (url=uid, root=uid)
+    rep_clusters = comp.materialize()
     n_comp = rep_clusters.count()
 
+    def add_rep_uid(t: pa.Table) -> pa.Table:
+        from ..stages.buckets import uid_of_urls
+        return t.append_column(
+            "rep_uid", pa.array(uid_of_urls(t["rep_url"].to_pylist()), pa.int64()))
+
+    members_u = members.map_batches(add_rep_uid, batch_format="pyarrow")
+
     if n_comp == 0:
-        enriched = members.map_batches(
+        enriched = members_u.map_batches(
             lambda t: t.append_column("near_root",
-                                      pa.array([None] * len(t), pa.string())),
+                                      pa.array([None] * len(t), pa.int64())),
             batch_format="pyarrow")
     elif n_comp <= cfg.broadcast_max_reps:
         # the component map is tiny relative to the corpus (near-dup
         # members only) — broadcast it instead of a shuffle join
-        mapping: dict[str, str] = {}
+        mapping: dict[int, int] = {}
         for b in rep_clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
             mapping.update(zip(b["url"].to_pylist(), b["root"].to_pylist()))
         enriched = broadcast_lookup(
-            members, "rep_url", mapping,
-            "near_root", out_type=pa.string())
+            members_u, "rep_uid", mapping,
+            "near_root", out_type=pa.int64())
     else:
         enriched = left_attach(
-            members,
+            members_u,
             rep_clusters,
-            left_key="rep_url",
+            left_key="rep_uid",
             right_key="url",
             value_col="root",
             out_col="near_root",
@@ -319,25 +323,27 @@ def run_dedup(
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        reps_ = batch["rep_url"].to_pylist()
         roots = batch["near_root"].to_pylist()
+        rep_uid = np.asarray(batch["rep_uid"], dtype=np.int64)
         exact_sz = np.asarray(batch["exact_size"], dtype=np.int64)
-        canonical = [r if r is not None else rep for r, rep in zip(roots, reps_)]
+        canonical = np.where(
+            pc.is_valid(batch["near_root"]).to_numpy(zero_copy_only=False),
+            np.array([r if r is not None else 0 for r in roots], dtype=np.int64),
+            rep_uid)
         kinds = []
-        for i, (r, rep) in enumerate(zip(roots, reps_)):
+        for i, r in enumerate(roots):
             if r is not None:
-                kinds.append("substring" if rep in sub_urls else "near")
+                kinds.append("substring" if int(rep_uid[i]) in sub_uids else "near")
             elif exact_sz[i] > 1:
                 kinds.append("exact")
             else:
                 kinds.append("unique")
-        out = batch.append_column("canonical", pa.array(canonical, pa.string()))
+        out = batch.append_column("canonical", pa.array(canonical, pa.int64()))
         return out.append_column("match_kind", pa.array(kinds, pa.string()))
 
     final_members = enriched.map_batches(finalize, batch_format="pyarrow")
 
-    # ---- keeper resolution per cluster (shuffle on canonical) --------------
+    # ---- keeper resolution per cluster (shuffle on canonical uid) ----------
     policy = cfg.keeper
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
@@ -355,10 +361,14 @@ def run_dedup(
                 select_keepers(g, policy)
                 for _, g in df.groupby("canonical", sort=False)
             ])
-        cids = {c: _cluster_id_of(c) for c in df["canonical"].unique()}
+        # cluster identity = hash of the cluster's minimum url — a pure
+        # function of group content (≙ files/move.go:226-236), never of
+        # the internal integer labels
+        min_url = df.groupby("canonical", sort=False)["url"].transform("min")
+        cids = {u: _cluster_id_of(u) for u in min_url.unique()}
         return pd.DataFrame({
             "url": df["url"],
-            "cluster_id": df["canonical"].map(cids),
+            "cluster_id": min_url.map(cids),
             "keeper_url": df["keeper_url"],
             "is_keeper": df["is_keeper"],
             "action": df["action"],

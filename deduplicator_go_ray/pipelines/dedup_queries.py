@@ -83,13 +83,22 @@ def ngram_jaccard_pairs(sf_dir: str):
     gram_rows = sets.map_batches(explode, batch_format="pyarrow")
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sz = df.groupby("gram")["doc_id"].transform("size")
-        df = df[(sz > 1) & (sz <= GRAM_DF_CAP)]
+        # vectorized clique emission: group rows by gram, then expand
+        # pairs one DISTINCT GROUP SIZE at a time (one triu per size,
+        # no Python loop over the ~10^5 tiny gram groups)
+        df = df.sort_values(["gram", "doc_id"], kind="mergesort")
+        g = df["gram"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.r_[starts, g.size])
+        keep = (sizes > 1) & (sizes <= GRAM_DF_CAP)
         frames = []
-        for _, g in df.groupby("gram", sort=False):
-            ids = np.sort(g["doc_id"].to_numpy())
-            iu, jv = np.triu_indices(ids.size, k=1)
-            frames.append(pd.DataFrame({"a": ids[iu], "b": ids[jv]}))
+        for s in np.unique(sizes[keep]):
+            idx = starts[keep][sizes[keep] == s]
+            mat = d[idx[:, None] + np.arange(s)[None, :]]   # (groups, s)
+            iu, jv = np.triu_indices(s, k=1)
+            frames.append(pd.DataFrame({"a": mat[:, iu].ravel(),
+                                        "b": mat[:, jv].ravel()}))
         if not frames:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64")})

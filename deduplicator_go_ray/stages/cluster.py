@@ -114,14 +114,18 @@ def _checksum_agg():
 
 
 def resolve_components(
-    edges_ds: "ray.data.Dataset", max_driver_edges: int = 5_000_000
+    edges_ds: "ray.data.Dataset", max_driver_edges: int = 5_000_000,
+    key_type: "pa.DataType | None" = None,
 ) -> "ray.data.Dataset":
     """Pick the driver or distributed path by edge count; both return a
-    Dataset (url, root) with identical contents (tested)."""
+    Dataset (url, root) with identical contents (tested).  Node labels
+    may be strings (urls) or int64 uids — pass ``key_type`` to pin the
+    empty-result schema."""
+    key_type = key_type or pa.string()
     n = edges_ds.count()
     if n == 0:
         return ray.data.from_arrow(
-            pa.table({"url": pa.array([], pa.string()), "root": pa.array([], pa.string())})
+            pa.table({"url": pa.array([], key_type), "root": pa.array([], key_type)})
         )
     if n <= max_driver_edges:
         pairs = []
@@ -130,7 +134,7 @@ def resolve_components(
         mapping = connected_components_driver(pairs)
         urls = sorted(mapping)
         return ray.data.from_arrow(
-            pa.table({"url": pa.array(urls, pa.string()),
-                      "root": pa.array([mapping[u] for u in urls], pa.string())})
+            pa.table({"url": pa.array(urls, key_type),
+                      "root": pa.array([mapping[u] for u in urls], key_type)})
         )
     return connected_components_distributed(edges_ds)
