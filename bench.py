@@ -149,12 +149,13 @@ def run_scaling() -> dict:
     # best-of-2 per level, interleaved: the sandbox host's effective CPU
     # speed drifts over minutes (invisible to guest steal counters), so
     # adjacent runs are the only fair comparison
-    lo = _scaling_child(lo_cpus, pages, "/tmp/bench_scale_lo.parquet")
-    hi = _scaling_child(hi_cpus, pages, "/tmp/bench_scale_hi.parquet")
-    lo2 = _scaling_child(lo_cpus, pages, "/tmp/bench_scale_lo.parquet")
-    hi2 = _scaling_child(hi_cpus, pages, "/tmp/bench_scale_hi.parquet")
-    lo = lo if lo["wall"] <= lo2["wall"] else lo2
-    hi = hi if hi["wall"] <= hi2["wall"] else hi2
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    lo = hi = None
+    for _ in range(rounds):
+        l = _scaling_child(lo_cpus, pages, "/tmp/bench_scale_lo.parquet")
+        h = _scaling_child(hi_cpus, pages, "/tmp/bench_scale_hi.parquet")
+        lo = l if lo is None or l["wall"] < lo["wall"] else lo
+        hi = h if hi is None or h["wall"] < hi["wall"] else hi
     tp_lo = lo["rows"] / lo["wall"]
     tp_hi = hi["rows"] / hi["wall"]
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
@@ -164,7 +165,7 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sf": SF_DIR,
+        "sf": SCALE_CORPUS,
         "low": {"num_cpus": lo_cpus, "wall_sec": round(lo["wall"], 2),
                 "docs_per_sec": round(tp_lo, 1)},
         "high": {"num_cpus": hi_cpus, "wall_sec": round(hi["wall"], 2),

@@ -63,10 +63,13 @@ class SubstringConfig:
     """
 
     window: int = 48
-    # anchor density 1/modulus windows: 32 halves the anchor-shuffle
-    # volume vs 16; a doc at min_len still expects ~5 anchors, so the
-    # ≥1-anchor requirement for substring detection holds w.h.p.
-    modulus: int = 32
+    # anchor density 1/modulus windows: anchors dominate the fused
+    # bucket shuffle (~80% of rows), and detection only needs the short
+    # side's MIN anchor to appear in the long side's set — which holds
+    # for any density since both sample by window content.  64 keeps
+    # ~15 anchors for a 1 KB doc; only docs near min_len (200 B, ~2.4
+    # expected anchors) have a small P(no anchor) tail.
+    modulus: int = 64
     min_len: int = 200
     min_shared_anchors: int = 2
 
@@ -162,6 +165,10 @@ class PipelineConfig:
     # semi-filter + broadcast plan (verify_edges_smallset / containment
     # smallset); bigger sets fall back to partitioned joins.
     smallset_max_edges: int = 2_000_000
+    # reduce-partition count for the fused bucket shuffle; more
+    # partitions = smaller reducers and better overlap (tuned on the
+    # 200k bench corpus; scale with cluster size at real scale).
+    bucket_partitions: int = 128
     # skip the hot-band pre-count (an extra groupby + driver collect)
     # when the band-row volume is too small for any bucket to threaten
     # a reducer; the in-partition cap still bounds pair emission.

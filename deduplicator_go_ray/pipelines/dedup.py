@@ -250,14 +250,16 @@ def run_dedup(
                               with_anchors=cfg.run_substring_pass)
         other = candidate_edges_fused(
             buckets.filter(expr=f"kind != {KIND_BAND}"),
-            cfg.lsh, cfg.simhash.hamming_threshold)
+            cfg.lsh, cfg.simhash.hamming_threshold,
+            num_partitions=cfg.bucket_partitions)
         cand = band_edges.union(other).materialize()
     else:
         buckets = bucket_rows(sigs, cfg.minhash,
                               cfg.simhash if cfg.run_simhash else None,
                               with_anchors=cfg.run_substring_pass)
         cand = candidate_edges_fused(
-            buckets, cfg.lsh, cfg.simhash.hamming_threshold).materialize()
+            buckets, cfg.lsh, cfg.simhash.hamming_threshold,
+            num_partitions=cfg.bucket_partitions).materialize()
     timer.tick("candidates")
 
     _empty_uid_edges = pa.table({

@@ -663,3 +663,27 @@ register(
     FROM events GROUP BY 1, 2
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# O6 — deterministic sampling (≙ the dev-mode LIMIT sampling,
+# files/utils.go:17-27 — made reproducible: modulo key selection)
+# --------------------------------------------------------------------------
+
+def sample_mod(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+register(
+    "sample_mod",
+    sample_mod,
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
+    """,
+)

@@ -272,3 +272,32 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 
 
 register("doc_fingerprints", doc_fingerprints)
+
+
+# --------------------------------------------------------------------------
+# url canonicalization (M9/M10 slot) — rows-only (urllib semantics are
+# not reproducible in SQL); determinism + rules covered in tests/
+# --------------------------------------------------------------------------
+
+def canonical_urls(sf_dir: str) -> "ray.data.Dataset":
+    from ..functions.urls import canonicalize_url
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        raw = [
+            f"HTTPS://Docs{i % 89}.Example:443//d/{i}/?utm_source=x&b=2&a=1#frag"
+            for i in ids
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url": pa.array(raw, pa.string()),
+            "canonical_url": pa.array(
+                [canonicalize_url(u) for u in raw], pa.string()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register("canonical_urls", canonical_urls)

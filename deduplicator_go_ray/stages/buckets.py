@@ -299,6 +299,7 @@ def candidate_edges_fused(
     simhash_hamming: int,
     anchor_bucket_cap: int = 4096,
     sim_group_cap: int = 512,
+    num_partitions: int = 128,
 ) -> "ray.data.Dataset":
     """One hash shuffle on ``key``; per partition, vectorized per-kind
     emission.  Returns (u, v, kind) int64 candidate edges."""
@@ -368,4 +369,4 @@ def candidate_edges_fused(
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    return grouped_apply(buckets, ["key"], emit)
+    return grouped_apply(buckets, ["key"], emit, num_partitions=num_partitions)

@@ -1,0 +1,112 @@
+"""Fused bucket-shuffle unit tests: kind multiplexing, bounded emission,
+partition invariance, uid verification paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from deduplicator_go_ray.config import LSHConfig, MinHashConfig, SimHashConfig
+from deduplicator_go_ray.stages.buckets import (
+    KIND_ANCHOR, KIND_BAND, KIND_SIMHASH, bucket_rows, candidate_edges_fused,
+    uid_of_urls, verify_near_edges)
+from deduplicator_go_ray.stages.signatures import SignatureStage
+
+
+def _sigs(texts: dict[str, str], ray_on) -> "ray.data.Dataset":
+    tbl = pa.table({
+        "url": pa.array(list(texts), pa.string()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "n_bytes": pa.array([len(t.encode()) for t in texts.values()], pa.int64()),
+    })
+    st = SignatureStage()
+    return ray.data.from_arrow(st(tbl)).map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow").materialize()
+
+
+@pytest.fixture(scope="module")
+def small_sigs(ray_session):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 6)
+    texts = {
+        "a": base,
+        "b": base,                                  # exact near pair with a
+        "c": base.replace("gamma", "GAMMA", 1),     # near pair (1 token edit)
+        "d": "completely different text about nothing at all " * 12,
+        "e": "short doc",                           # too short for anchors
+    }
+    return _sigs(texts, ray_session)
+
+
+def test_bucket_rows_kinds(small_sigs):
+    rows = bucket_rows(small_sigs, MinHashConfig(), SimHashConfig(),
+                       with_anchors=True).to_pandas()
+    kinds = set(rows["kind"])
+    assert {KIND_BAND, KIND_SIMHASH, KIND_ANCHOR} <= kinds
+    cfg = MinHashConfig()
+    per_doc_bands = rows[rows["kind"] == KIND_BAND].groupby("uid").size()
+    assert (per_doc_bands == cfg.bands).all()
+    per_doc_chunks = rows[rows["kind"] == KIND_SIMHASH].groupby("uid").size()
+    assert (per_doc_chunks == 4).all()              # 64 / 16-bit chunks
+    # exactly one min-anchor flag per doc that has anchors
+    anc = rows[rows["kind"] == KIND_ANCHOR]
+    assert (anc.groupby("uid")["flag"].sum() >= 1).all()
+
+
+def test_fused_edges_find_planted_pairs(small_sigs):
+    rows = bucket_rows(small_sigs, MinHashConfig(), SimHashConfig(),
+                       with_anchors=True)
+    edges = candidate_edges_fused(rows, LSHConfig(), 3).materialize()
+    verified = verify_near_edges(edges.filter(expr=f"kind != {KIND_ANCHOR}"),
+                                 small_sigs, MinHashConfig()).to_pandas()
+    ua, ub, uc = uid_of_urls(["a", "b", "c"])
+    got = {(min(u, v), max(u, v)) for u, v in zip(verified["u"], verified["v"])}
+    assert (min(ua, ub), max(ua, ub)) in got
+    assert (min(ua, uc), max(ua, uc)) in got
+
+
+def test_fused_edges_partition_invariant(small_sigs):
+    rows = bucket_rows(small_sigs, MinHashConfig(), SimHashConfig(),
+                       with_anchors=True).materialize()
+
+    def canon(ds):
+        df = candidate_edges_fused(ds, LSHConfig(), 3).to_pandas()
+        return (df.assign(a=np.minimum(df.u, df.v), b=np.maximum(df.u, df.v))
+                [["a", "b", "kind"]].drop_duplicates()
+                .sort_values(["a", "b", "kind"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(canon(rows), canon(rows.repartition(5)))
+
+
+def test_hot_bucket_bounded_emission(ray_session):
+    # one shared band bucket with many members must emit O(n) chain
+    # edges, not O(n^2) cliques
+    n = 600
+    tbl = pa.table({
+        "key": pa.array([42] * n, pa.int64()),
+        "kind": pa.array([KIND_BAND] * n, pa.int8()),
+        "uid": pa.array(np.arange(n), pa.int64()),
+        "payload": pa.array(np.zeros(n), pa.int64()),
+        "flag": pa.array([False] * n, pa.bool_()),
+    })
+    lsh = LSHConfig(group_cap=512)
+    edges = candidate_edges_fused(ray.data.from_arrow(tbl), lsh, 3).to_pandas()
+    # chain-only for a hot bucket: exactly n-1 edges
+    assert len(edges) == n - 1
+    # connectivity: the chain spans all members (single component)
+    from deduplicator_go_ray.stages.cluster import connected_components_driver
+
+    mapping = connected_components_driver(
+        list(zip(edges["u"].tolist(), edges["v"].tolist())))
+    assert len(set(mapping.values())) == 1
+    assert len(mapping) == n
+
+
+def test_uid_stability():
+    a = uid_of_urls(["x", "y", "z"])
+    b = uid_of_urls(["x", "y", "z"])
+    assert np.array_equal(a, b)
+    assert len(set(a.tolist())) == 3
