@@ -124,11 +124,14 @@ from deduplicator_go_ray.pipelines.dedup import run_dedup
 # not job throughput, and spawning W workers costs MORE wall on the
 # bigger cluster, which would bias the efficiency ratio downward
 ray.data.range(1000, override_num_blocks={num_cpus}).map_batches(lambda b: b).materialize()
+import shutil
+out_dir = {out_path!r} + ".d"
+shutil.rmtree(out_dir, ignore_errors=True)
 t0 = time.time()
 ds = ray.data.read_parquet({pages_path!r})
-df = run_dedup(ds).to_pandas()
+run_dedup(ds).write_parquet(out_dir)   # parallel sink — the real pipeline shape
 wall = time.time() - t0
-df = df.sort_values("url").reset_index(drop=True)
+df = ray.data.read_parquet(out_dir).to_pandas().sort_values("url").reset_index(drop=True)
 df.to_parquet({out_path!r})
 print(json.dumps({{"wall": wall, "rows": len(df),
                    "clusters": int(df["cluster_id"].nunique())}}))

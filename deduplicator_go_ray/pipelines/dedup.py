@@ -378,7 +378,8 @@ def run_dedup(
             "n_bytes": df["n_bytes"].astype("int64"),
         })
 
-    assignments = grouped_apply(final_members, ["canonical"], resolve)
+    assignments = grouped_apply(final_members, ["canonical"], resolve,
+                                num_partitions=cfg.bucket_partitions)
 
     # ---- error rows + too-small rows pass through as self-clusters ---------
     def selfcluster(kind: str):

@@ -41,27 +41,76 @@ def grouped_apply(
     keys: list[str],
     partition_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 64,
+    packed: bool = True,
 ) -> "ray.data.Dataset":
     """Hash-partition `ds` on `keys`, then run `partition_fn` once per
     partition over a pandas frame containing only complete key-groups.
 
     `partition_fn` must be pure and must not depend on row order
     beyond what it itself sorts — results are then independent of the
-    partition count (N-vs-4N determinism)."""
+    partition count (N-vs-4N determinism).
 
-    def add_part(batch: pa.Table) -> pa.Table:
+    ``packed=True`` (default) routes the exchange through per-partition
+    Arrow-IPC blobs: each map batch is split by partition and serialized
+    into ONE (part, blob) row per partition, so Ray's sort-based shuffle
+    orders ~(blocks × partitions) blob rows instead of every data row —
+    the global sort was the dominant cost of wide grouped stages.  The
+    reduce side deserializes and concatenates its blobs zero-copy-ish
+    before running `partition_fn` on the full partition."""
+
+    if not packed:
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
+            return batch.append_column("__part", pa.array(part, pa.int64()))
+
+        def run(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns="__part")
+            return partition_fn(df)
+
+        return (
+            ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(run, batch_format="pandas")
+        )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import pyarrow.ipc as ipc
+        import io
+
         part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
-        return batch.append_column("__part", pa.array(part, pa.int64()))
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = batch.take(pa.array(order))
+        sp = part[order]
+        starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+        sizes = np.diff(np.r_[starts, sp.size])
+        parts_out, blobs = [], []
+        for s, n in zip(starts, sizes):
+            sub = sorted_tbl.slice(int(s), int(n))
+            sink = io.BytesIO()
+            with ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            parts_out.append(int(sp[s]))
+            blobs.append(sink.getvalue())
+        return pa.table({
+            "__part": pa.array(parts_out, pa.int64()),
+            "__blob": pa.array(blobs, pa.large_binary()),
+        })
 
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__part")
-        out = partition_fn(df)
-        return out
+    def unpack_run(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.ipc as ipc
+        import io
+
+        tables = [ipc.open_stream(io.BytesIO(b)).read_all()
+                  for b in df["__blob"]]
+        if not tables:
+            return partition_fn(pd.DataFrame())
+        full = pa.concat_tables(tables)
+        return partition_fn(full.to_pandas())
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(pack, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(unpack_run, batch_format="pandas")
     )
 
 

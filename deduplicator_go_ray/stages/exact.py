@@ -82,7 +82,8 @@ def assign_exact_groups(
     schema = ds.schema(fetch_if_missing=False)
     if schema is not None:
         cols = [c for c in cols if c in schema.names]
-    return grouped_apply(ds.select_columns(cols), ["text_sha256"], resolve)
+    return grouped_apply(ds.select_columns(cols), ["text_sha256"], resolve,
+                         num_partitions=128)
 
 
 def duplicate_groups_report(
