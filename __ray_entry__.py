@@ -20,10 +20,9 @@ def entry() -> Any:
     """Flagship dedup pipeline over pages derived from sf0.001 documents.
 
     Builds the Common-Crawl-style pages table (url, warc_ts, html,
-    text, lang) deterministically from /root/testdata/sf0.001/documents
-    plus the synthetic dup corpus, runs the full exact+near+substring
-    dedup pipeline (SURVEY.md §3.4) and returns the assignments
-    Dataset.
+    text, lang) deterministically from /root/testdata/sf0.001/documents,
+    runs the full exact+near+substring dedup pipeline (SURVEY.md §3.4)
+    and returns the assignments Dataset.
     """
     import ray.data as rd
 

@@ -104,7 +104,8 @@ def grouped_apply(
                   for b in df["__blob"]]
         if not tables:
             return partition_fn(pd.DataFrame())
-        full = pa.concat_tables(tables)
+        # unioned inputs may disagree on column ORDER — unify by name
+        full = pa.concat_tables(tables, promote_options="default")
         return partition_fn(full.to_pandas())
 
     return (

@@ -105,8 +105,14 @@ def checkpointed_write(
             g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
             final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
             tmp = final + f".tmp.{os.getpid()}"
-            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp,
-                           row_group_size=65536)
+            tbl = pa.Table.from_pandas(g, preserve_index=False)
+            # an all-None column infers as null type, which poisons the
+            # multi-file dataset schema — pin such columns to string
+            for i, f_ in enumerate(tbl.schema):
+                if pa.types.is_null(f_.type):
+                    tbl = tbl.set_column(
+                        i, f_.name, tbl.column(i).cast(pa.string()))
+            pq.write_table(tbl, tmp, row_group_size=65536)
             os.replace(tmp, final)  # atomic: exists == complete
             errors = int(g["error"].notna().sum()) if "error" in g.columns else 0
             frames.append(pd.DataFrame({
@@ -132,6 +138,96 @@ def checkpointed_write(
 
 def read_checkpoint(out_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(out_dir)
+
+
+def incremental_hash(
+    pages: "ray.data.Dataset",
+    out_dir: str,
+    num_partitions: int = 64,
+    force: bool = False,
+    retry_errors: bool = False,
+) -> pd.DataFrame:
+    """Incremental extract+hash against an existing checkpoint — the
+    reference's unchanged-skip / predicated re-run semantics
+    (``files/process.go`` skip-by-(hash,size,mtime); ``--force`` drops
+    the predicate and ``--retry-problematic`` re-queues sentinel rows,
+    ``files/hash.go:18-35``):
+
+    * rows whose url already has a non-error checkpoint entry are
+      SKIPPED (anti-join against the checkpoint's url set — broadcast,
+      no shuffle);
+    * ``retry_errors=True`` re-processes rows whose checkpoint entry
+      carries an error sentinel (≙ ``--retry-problematic``);
+    * ``force=True`` wipes the checkpoint and recomputes everything
+      (≙ ``--force``).
+
+    Returns the metrics frame for the partitions (re)written.
+    """
+    import shutil
+
+    from ..stages.exact import add_content_key
+    from ..stages.extract import ExtractStage
+    from ..stages.joins import broadcast_semi_filter
+
+    hashed_dir = os.path.join(out_dir, "hashed")
+    if force and os.path.isdir(hashed_dir):
+        shutil.rmtree(hashed_dir)
+
+    todo = pages
+    done_urls: set[str] = set()
+    if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
+        existing = ray.data.read_parquet(hashed_dir)
+        cols = ["url", "error"]
+        for b in existing.select_columns(cols).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            if retry_errors:
+                keep = b.filter(pa.compute.is_null(b["error"]))
+                done_urls.update(keep["url"].to_pylist())
+            else:
+                done_urls.update(b["url"].to_pylist())
+    if done_urls:
+        todo = broadcast_semi_filter(pages, "url", done_urls, anti=True)
+
+    extracted = todo.map_batches(
+        lambda b: ExtractStage()(b), batch_format="pyarrow", batch_size=256)
+    hashed = add_content_key(extracted)
+    # merge into the checkpoint: recomputed rows land in their partition
+    # files; untouched partitions keep their existing file.  A partition
+    # containing BOTH old and new rows must be rewritten with the union,
+    # so stale partition files for affected pids are removed first.
+    with_pid = add_partition_id(hashed, num_partitions).materialize()
+    if with_pid.count() == 0:
+        return pd.DataFrame()
+    affected = set()
+    for b in with_pid.select_columns(["partition_id"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        affected.update(np.asarray(b["partition_id"], dtype=np.int64).tolist())
+    merged = with_pid
+    if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
+        old = ray.data.read_parquet(hashed_dir)
+
+        def keep_affected_done(t: pa.Table) -> pa.Table:
+            pid = np.asarray(t["partition_id"], dtype=np.int64)
+            mask = np.isin(pid, np.array(sorted(affected), dtype=np.int64))
+            if done_urls and not retry_errors:
+                return t.filter(pa.array(mask))
+            # retry_errors: drop the old error rows being recomputed
+            keep = mask
+            if retry_errors:
+                keep = mask & np.array(
+                    [e is None for e in t["error"].to_pylist()])
+            return t.filter(pa.array(keep))
+
+        # materialize BEFORE deleting the stale files — the read is lazy
+        old_affected = old.map_batches(
+            keep_affected_done, batch_format="pyarrow").materialize()
+        merged = with_pid.union(old_affected)
+        for pid in affected:
+            p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+    return checkpointed_write(merged, hashed_dir, num_partitions,
+                              stage="incremental_hash")
 
 
 def run_dedup_checkpointed(

@@ -97,3 +97,45 @@ def test_checkpointed_write_skips_done(pages_tbl, tmp_path, ray_session):
     assert len(m1) == P
     m2 = checkpointed_write(hashed, out, P, stage="s")
     assert len(m2) == 0, "second run writes nothing (all partitions done)"
+
+
+def test_incremental_hash(pages_tbl, tmp_path, ray_session):
+    """≙ unchanged-skip + --retry-problematic + --force semantics
+    (files/process.go, files/hash.go:18-35)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deduplicator_go_ray.state.checkpoint import incremental_hash
+
+    out = str(tmp_path / "inc")
+    first = pages_tbl.slice(0, 200)
+    rest = pages_tbl.slice(200, 100)
+
+    m1 = incremental_hash(ray.data.from_arrow(first), out, num_partitions=P)
+    assert m1["rows_in"].sum() == 200
+
+    # re-run with the same input: everything skipped
+    m2 = incremental_hash(ray.data.from_arrow(first), out, num_partitions=P)
+    assert len(m2) == 0 or m2["rows_in"].sum() == 0
+
+    # new rows only are processed; checkpoint becomes the union
+    m3 = incremental_hash(ray.data.from_arrow(pages_tbl.slice(0, 300)), out,
+                          num_partitions=P)
+    hashed = pq.read_table(os.path.join(out, "hashed"))
+    assert hashed.num_rows == 300
+    assert len(set(hashed["url"].to_pylist())) == 300
+
+    # error rows exist in the corpus → retry_errors re-processes exactly those
+    n_err = sum(1 for e in hashed["error"].to_pylist() if e is not None)
+    m4 = incremental_hash(ray.data.from_arrow(pages_tbl.slice(0, 300)), out,
+                          num_partitions=P, retry_errors=True)
+    if n_err:
+        assert m4["rows_in"].sum() >= n_err
+    hashed2 = pq.read_table(os.path.join(out, "hashed"))
+    assert hashed2.num_rows == 300
+
+    # force recomputes everything
+    m5 = incremental_hash(ray.data.from_arrow(pages_tbl.slice(0, 300)), out,
+                          num_partitions=P, force=True)
+    assert m5["rows_in"].sum() == 300
