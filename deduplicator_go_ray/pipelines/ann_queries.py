@@ -202,3 +202,94 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
 
 register("ann_ivf_topk", ann_ivf_topk)
+
+
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH approximate top-k (rows-only).
+
+    The vector analogue of the text SimHash path: each vector's
+    signature is the sign pattern against ``n_planes`` seeded random
+    hyperplanes, bucketed in ``n_tables`` independent tables; a query
+    scores only vectors sharing at least one bucket.  At scale the
+    bucket id is the shuffle key (groupby per table); here buckets are
+    computed per batch and candidates scored in the same pass.
+    Recall vs the brute-force baseline is measured in tests/.
+    """
+    n_planes, n_tables = 5, 12
+    rng = np.random.default_rng(42)
+
+    qids, Q = _query_matrix(sf_dir)
+    dim = Q.shape[1]
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    qsig = (np.einsum("tpd,qd->tqp", planes, Q) > 0)         # (T, nq, P)
+    qbits = (qsig << np.arange(n_planes)).sum(axis=2)        # (T, nq)
+    ref = ray.put((qids, Q, planes, qbits))
+
+    def search(t: pa.Table) -> pa.Table:
+        q_ids, QM, PL, QB = ray.get(ref)
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        V = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        vsig = (np.einsum("tpd,nd->tnp", PL, V) > 0)
+        vbits = (vsig << np.arange(PL.shape[1])).sum(axis=2)  # (T, n)
+        S = QM @ V.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            cand = np.zeros(len(ids), dtype=bool)
+            for tbl in range(PL.shape[0]):
+                cand |= vbits[tbl] == QB[tbl, qi]
+            cand &= ids != q_ids[qi]
+            cand_ids, cand_s = ids[cand], S[qi][cand]
+            if cand_ids.size > TOP_K:
+                part = np.argpartition(-cand_s, TOP_K)[:TOP_K]
+                cand_ids, cand_s = cand_ids[part], cand_s[part]
+            out_q.append(np.full(cand_ids.size, q_ids[qi], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = _emb(sf_dir).map_batches(search, batch_format="pyarrow")
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, g in df.groupby("query_id", sort=False):
+            g = g.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+            g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+            frames.append(g)
+        return pd.concat(frames)[["query_id", "neighbor_id", "rank"]]
+
+    out = grouped_apply(partials, ["query_id"], reduce_topk).to_pandas()
+    return (out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+register("ann_lsh_topk", ann_lsh_topk)
+
+
+def embedding_clusters(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup CLUSTERS (rows-only): the flagship's
+    pair→components→keeper shape applied to the vector modality —
+    cosine ≥ τ pairs merge via union-find, keeper = min vec_id."""
+    from ..pipelines.dedup_queries import embedding_dup_pairs
+    from ..stages.cluster import connected_components_driver
+
+    pairs = embedding_dup_pairs(sf_dir)
+    mapping = connected_components_driver(
+        [(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])])
+    if not mapping:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "cluster_root": pd.Series(dtype="int64"),
+                             "is_keeper": pd.Series(dtype="bool")})
+    rows = sorted(mapping.items())
+    return pd.DataFrame({
+        "vec_id": [int(k) for k, _ in rows],
+        "cluster_root": [int(v) for _, v in rows],
+        "is_keeper": [int(k) == int(v) for k, v in rows],
+    })
+
+
+register("embedding_clusters", embedding_clusters)

@@ -94,3 +94,27 @@ def test_lang_id_deterministic_and_total(registry):
 def test_embedding_pairs_symmetric_ordering(registry):
     pairs = registry["embedding_dup_pairs"](SF_DIR)
     assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_ann_lsh_recall(registry):
+    exact = registry["ann_topk"](SF_DIR)
+    approx = registry["ann_lsh_topk"](SF_DIR)
+    hits = total = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(truth & got)
+        total += len(truth)
+    assert hits / total >= 0.5, f"LSH ANN recall {hits / total:.3f}"
+
+
+def test_embedding_clusters_consistent(registry):
+    pairs = registry["embedding_dup_pairs"](SF_DIR)
+    clusters = registry["embedding_clusters"](SF_DIR)
+    root = dict(zip(clusters["vec_id"], clusters["cluster_root"]))
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert root[a] == root[b]
+    # keeper = component minimum
+    for r, g in clusters.groupby("cluster_root"):
+        assert g["vec_id"].min() == r
+        assert g[g["is_keeper"]]["vec_id"].iloc[0] == r
