@@ -24,7 +24,8 @@ from ..config import MinHashConfig, SimHashConfig, SubstringConfig
 from ..functions.hashing import hash64_str
 from ..stages.common import dedupe_rows, grouped_apply
 from ..stages.joins import join_on
-from ..stages.lsh import band_rows, candidate_edges, hot_band_keys, salt_bands, simhash_edges, verify_edges
+from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
+                          simhash_edges, verify_edges_smallset)
 from ..stages.signatures import SignatureStage
 from .registry import register
 
@@ -104,46 +105,58 @@ def ngram_jaccard_pairs(sf_dir: str):
                                  "b": pd.Series(dtype="int64")})
         return pd.concat(frames).drop_duplicates()
 
-    cand = dedupe_rows(grouped_apply(gram_rows, ["gram"], emit_pairs),
-                       ["a", "b"]).materialize()
+    # duplicate candidate pairs (one per shared gram bucket) cost one
+    # verification each — cheaper than a dedupe shuffle; the final
+    # drop_duplicates runs on the (tiny) verified result
+    cand = grouped_apply(gram_rows, ["gram"], emit_pairs).materialize()
     if cand.count() == 0:
         return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
                              "doc_id_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
 
-    def side(name: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({
-                name: t["doc_id"],
-                f"grams_{name}": t["grams"],
-                f"n_{name}": t["n_grams"],
-            })
-        return f
+    # semi-filter the gram-set table to the candidate endpoints and
+    # broadcast its block refs (per-worker cached index) — no shuffle
+    # joins (same plan as stages.buckets.verify_near_edges)
+    import ray as _ray
 
-    # two chained joins run concurrently under the streaming executor —
-    # keep the aggregator-actor footprint (partitions × 0.125 cpu × 2)
-    # well under the smallest test cluster (4 cpus) or they starve the
-    # map stages and deadlock
-    left = join_on(cand, sets.map_batches(side("a"), batch_format="pyarrow"),
-                   "a", num_partitions=4)
-    both = join_on(left, sets.map_batches(side("b"), batch_format="pyarrow"),
-                   "b", num_partitions=4)
+    from ..stages.buckets import _uid_index
+    from ..stages.lsh import block_refs_of
+
+    ids: set[int] = set()
+    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.update(np.asarray(b["a"], np.int64).tolist())
+        ids.update(np.asarray(b["b"], np.int64).tolist())
+    id_arr = np.array(sorted(ids), dtype=np.int64)
+    ref = _ray.put(id_arr)
+
+    def slim(t: pa.Table) -> pa.Table:
+        wanted = _ray.get(ref)
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        keep = np.isin(d, wanted)
+        out = t.filter(pa.array(keep))
+        return pa.table({"uid": out["doc_id"], "grams": out["grams"],
+                         "n_grams": out["n_grams"]})
+
+    skinny = sets.map_batches(slim, batch_format="pyarrow").materialize()
+    refs = tuple(block_refs_of(skinny))
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"doc_id_a": pa.array([], pa.int64()),
                              "doc_id_b": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        na = np.asarray(t["n_a"], dtype=np.int64)
-        nb = np.asarray(t["n_b"], dtype=np.int64)
-        ga = t["grams_a"].to_pylist()
-        gb = t["grams_b"].to_pylist()
-        inter = np.array([
-            np.intersect1d(np.frombuffer(x, np.uint64),
-                           np.frombuffer(y, np.uint64)).size
-            for x, y in zip(ga, gb)
-        ], dtype=np.int64)
-        jac = inter / np.maximum(na + nb - inter, 1)
+        idx, (grams, n_grams) = _uid_index(refs, ("grams", "n_grams"))
+        ia = idx.get_indexer(np.asarray(t["a"], np.int64))
+        ib = idx.get_indexer(np.asarray(t["b"], np.int64))
+        ncol = np.asarray(n_grams, dtype=np.int64) if len(idx) else np.empty(0, np.int64)
+        ok = (ia >= 0) & (ib >= 0)
+        jac = np.zeros(len(t))
+        for i in np.nonzero(ok)[0]:
+            ga = np.frombuffer(grams[int(ia[i])].as_py(), np.uint64)
+            gb = np.frombuffer(grams[int(ib[i])].as_py(), np.uint64)
+            inter = np.intersect1d(ga, gb).size
+            denom = ncol[ia[i]] + ncol[ib[i]] - inter
+            jac[i] = inter / max(denom, 1)
         keep = jac >= NGRAM_THRESHOLD
         return pa.table({
             "doc_id_a": pa.array(np.asarray(t["a"], np.int64)[keep], pa.int64()),
@@ -151,12 +164,13 @@ def ngram_jaccard_pairs(sf_dir: str):
             "jaccard": pa.array(jac[keep], pa.float64()),
         })
 
-    out = both.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:
         out = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
                             "doc_id_b": pd.Series(dtype="int64"),
                             "jaccard": pd.Series(dtype="float64")})
-    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return (out.drop_duplicates(["doc_id_a", "doc_id_b"])
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
 
 
 register(
@@ -233,7 +247,7 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
                        ["u", "v"]).materialize()
     if cand.count() == 0:
         return _pairs_to_ids(cand)
-    verified = verify_edges(cand, sigs, cfg, num_partitions=4).select_columns(["u", "v"])
+    verified = verify_edges_smallset(cand, sigs, cfg).select_columns(["u", "v"])
     return _pairs_to_ids(verified)
 
 

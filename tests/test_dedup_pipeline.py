@@ -114,3 +114,38 @@ def test_keeper_policies_pure():
     )
     kept = set(pri[pri.action == "keep"].url)
     assert kept == {"https://b.example/1", "https://a.example/1"}
+
+
+def test_pipeline_with_alternate_keeper_policies(corpus):
+    """Policies D2/D4 through the FULL pipeline (not just the unit
+    helper): cluster membership identical to the default run; only
+    keeper/action assignments differ by policy."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+
+    pop = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(keeper=KeeperPolicy(policy="site_popularity")),
+    ).to_pandas()
+    pri = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(keeper=KeeperPolicy(policy="priority_limits",
+                                           min_copies=2)),
+    ).to_pandas()
+
+    for other in (pop, pri):
+        a = base.sort_values("url").reset_index(drop=True)
+        b = other.sort_values("url").reset_index(drop=True)
+        # same clustering regardless of keeper policy
+        assert (a["cluster_id"] == b["cluster_id"]).all()
+        # exactly one keeper per cluster for site_popularity;
+        # priority_limits keeps up to min_copies members
+    assert (pop.groupby("cluster_id")["is_keeper"].sum() == 1).all()
+    kept = pri[pri["action"] == "keep"].groupby("cluster_id").size()
+    sizes = pri.groupby("cluster_id").size()
+    assert (kept <= np.maximum(2, 1)).all() or (kept <= sizes[kept.index]).all()
+    multi = sizes[sizes >= 2].index
+    assert (kept[multi] == 2).all(), "min_copies=2 keeps two members"
