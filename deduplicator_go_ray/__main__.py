@@ -86,6 +86,24 @@ def cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_errors(args: argparse.Namespace) -> int:
+    """≙ the problematic-file listing (`files hash --list-problematic`,
+    files/hash.go:405-469): rows whose in-band error sentinel is set."""
+    ray = _ray()
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    errs = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["error"])), batch_format="pyarrow")
+    rows = errs.select_columns(["url", "error"]).limit(args.limit).take_all()
+    for r in rows:
+        print(f"{r['error']}\t{r['url']}")
+    print(f"{len(rows)} error rows shown (limit {args.limit})")
+    ray.shutdown()
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     from .sources.corpus import write_corpus
 
@@ -115,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--input", required=True)
     rep.add_argument("--top", type=int, default=20)
     rep.set_defaults(fn=cmd_report)
+
+    e = sub.add_parser("errors", help="list sentinel-error rows of a checkpoint")
+    e.add_argument("--input", required=True, help="hashed checkpoint dir")
+    e.add_argument("--limit", type=int, default=100)
+    e.set_defaults(fn=cmd_errors)
 
     c = sub.add_parser("corpus", help="generate the synthetic pages corpus")
     c.add_argument("--output", required=True)

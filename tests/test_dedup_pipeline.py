@@ -149,3 +149,22 @@ def test_pipeline_with_alternate_keeper_policies(corpus):
     assert (kept <= np.maximum(2, 1)).all() or (kept <= sizes[kept.index]).all()
     multi = sizes[sizes >= 2].index
     assert (kept[multi] == 2).all(), "min_copies=2 keeps two members"
+
+
+def test_presalted_hot_band_path_same_assignments(corpus):
+    """The at-scale branch (hot-band pre-count + salting, taken when
+    band rows exceed presalt_min_band_rows) must produce the same
+    assignments as the fused default path."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    forced = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(presalt_min_band_rows=1),   # force the presalt branch
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = forced.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action"]:
+        assert (a[col] == b[col]).all(), col

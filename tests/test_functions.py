@@ -121,3 +121,30 @@ def test_quality_score_ranges():
     good = quality_score("The quick brown fox jumps over the lazy dog. " * 10)
     bad = quality_score("@@@ ### !!! ;;; :::")
     assert 0.0 <= bad <= good <= 1.0
+
+
+def test_grouped_apply_packed_equals_unpacked(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from deduplicator_go_ray.stages.common import grouped_apply
+
+    rng = np.random.default_rng(5)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 50, 3000), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, 3000), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=True)["v"]
+        return pd.DataFrame({"k": g.min().index, "vmin": g.min().values,
+                             "cnt": g.size().values})
+
+    a = grouped_apply(ds, ["k"], fn, packed=True).to_pandas()
+    b = grouped_apply(ds, ["k"], fn, packed=False).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
