@@ -182,16 +182,33 @@ def run_dedup(
         assignments = ray.data.from_arrow(_EMPTY_ASSIGN)
         return _finish(assignments, err, small, num_partitions)
 
-    rep_urls: set[str] = set()
-    for b in members.select_columns(["url", "is_rep"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        kept = b.filter(b["is_rep"])
-        rep_urls.update(kept["url"].to_pylist())
-    from ..stages.joins import broadcast_semi_filter
+    # rep membership travels as a sorted int64 uid array (8 B/rep via
+    # the driver instead of a ~60 B url string into a Python set) and
+    # the filter matches with one vectorized np.isin per batch
+    from ..stages.buckets import uid_of_urls
+
+    def rep_uid_batches(t: pa.Table) -> pa.Table:
+        kept = t.filter(t["is_rep"])
+        return pa.table({"uid": pa.array(uid_of_urls(kept["url"].to_pylist()),
+                                         pa.int64())})
+
+    uid_parts = [np.asarray(b["uid"], np.int64) for b in
+                 members.select_columns(["url", "is_rep"]).map_batches(
+                     rep_uid_batches, batch_format="pyarrow")
+                 .iter_batches(batch_size=262144, batch_format="pyarrow")]
+    rep_uid_sorted = (np.sort(np.concatenate(uid_parts)) if uid_parts
+                      else np.empty(0, np.int64))
+    uid_ref = ray.put(rep_uid_sorted)
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        wanted = ray.get(uid_ref)
+        uid = uid_of_urls(t["url"].to_pylist())
+        return t.filter(pa.array(np.isin(uid, wanted)))
+
     # materialized: consumed by the signature stage AND the containment
     # verifier — lazy, the whole corpus-wide filter would re-execute
-    reps = broadcast_semi_filter(
-        ok.select_columns(["url", "text", "n_bytes"]), "url", rep_urls).materialize()
+    reps = ok.select_columns(["url", "text", "n_bytes"]).map_batches(
+        keep_reps, batch_format="pyarrow").materialize()
     timer.tick("rep_texts")
 
     # ---- signatures on representatives only (candidate pruning §7.0) -------
