@@ -208,10 +208,12 @@ def _doc_sigs(sf_dir: str, compute_anchors: bool = False) -> "ray.data.Dataset":
 
     def to_pages(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
         # zero-padded so lexicographic url order == numeric doc order
         return pa.table({
             "url": pa.array([f"{i:012d}" for i in ids], pa.string()),
             "text": t["text"],
+            "n_bytes": pa.array([len(x.encode()) for x in texts], pa.int64()),
         })
 
     pages = docs.map_batches(to_pages, batch_format="pyarrow")
@@ -333,3 +335,41 @@ def dedup_pipeline(sf_dir: str) -> "ray.data.Dataset":
 
 
 register("dedup_pipeline", dedup_pipeline)
+
+
+# --------------------------------------------------------------------------
+# long exact-substring pairs (suffix-automaton verified) — rows-only
+# --------------------------------------------------------------------------
+
+def long_substring_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.substring import anchor_rows
+    from ..stages.suffix import long_substring_pairs as _lsp
+
+    sigs = _doc_sigs(sf_dir, compute_anchors=True)
+    anchors = anchor_rows(sigs)
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def to_texts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"{i:012d}" for i in ids], pa.string()),
+            "text": t["text"],
+        })
+
+    texts = docs.map_batches(to_texts, batch_format="pyarrow")
+    out = _lsp(texts, anchors, min_len=200).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                             "doc_id_b": pd.Series(dtype="int64"),
+                             "lcs_len": pd.Series(dtype="int64")})
+    a = out["u"].astype("int64")
+    b = out["v"].astype("int64")
+    return (pd.DataFrame({"doc_id_a": np.minimum(a, b),
+                          "doc_id_b": np.maximum(a, b),
+                          "lcs_len": out["lcs_len"].astype("int64")})
+            .drop_duplicates(["doc_id_a", "doc_id_b"])
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+
+
+register("long_substring_pairs", long_substring_pairs)

@@ -118,3 +118,41 @@ def test_embedding_clusters_consistent(registry):
     for r, g in clusters.groupby("cluster_root"):
         assert g["vec_id"].min() == r
         assert g[g["is_keeper"]]["vec_id"].iloc[0] == r
+
+
+def test_long_substring_pairs(registry, ray_session):
+    import duckdb
+
+    from deduplicator_go_ray.stages.suffix import lcs_length
+
+    out = registry["long_substring_pairs"](SF_DIR)
+    found = _pair_set(out, "doc_id_a", "doc_id_b")
+
+    # exact ground truth: true LCS of every near-dup candidate pair
+    exact = registry["ngram_jaccard_pairs"](SF_DIR)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    strong = {(a, b) for a, b in _pair_set(exact, "doc_id_a", "doc_id_b")
+              if lcs_length(texts[a], texts[b]) >= 400}
+    assert strong, "corpus should contain pairs with long shared runs"
+    recall = len(strong & found) / len(strong)
+    assert recall >= 0.9, f"long-run recall {recall:.2f} on {len(strong)} pairs"
+
+    # precision: every reported lcs_len is the true LCS and >= min_len
+    for _, r in out.iterrows():
+        true_lcs = lcs_length(texts[r.doc_id_a], texts[r.doc_id_b])
+        assert r.lcs_len == true_lcs
+        assert true_lcs >= 200
+
+
+def test_lcs_kernel():
+    from deduplicator_go_ray.stages.suffix import lcs_length
+
+    assert lcs_length("", "x") == 0
+    assert lcs_length("abcdef", "zabcq") == 3
+    run = "shared exact fragment " * 20
+    a = "prefix stuff " + run + " tail a"
+    b = "other lead " + run + " different end"
+    assert lcs_length(a, b) >= len(run)
+    assert lcs_length("abc", "xyz") == 0
