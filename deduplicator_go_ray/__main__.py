@@ -37,7 +37,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     ray = _ray()
     import ray.data
 
-    from .config import KeeperPolicy, MinHashConfig, PipelineConfig
+    from .config import KeeperPolicy, PipelineConfig
     from .pipelines.dedup import run_dedup
     from .state.checkpoint import run_dedup_checkpointed
 

@@ -33,7 +33,7 @@ import ray.data
 from ..config import PipelineConfig
 from ..functions.hashing import hash64_str
 from ..stages.cluster import resolve_components
-from ..stages.common import dedupe_rows, grouped_apply
+from ..stages.common import grouped_apply
 from ..stages.exact import add_content_key, assign_exact_groups
 from ..stages.extract import ExtractStage
 from ..stages.keeper import select_keepers

@@ -20,10 +20,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..config import MinHashConfig, SimHashConfig, SubstringConfig
+from ..config import MinHashConfig
 from ..functions.hashing import hash64_str
 from ..stages.common import dedupe_rows, grouped_apply
-from ..stages.joins import join_on
 from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
                           simhash_edges, verify_edges_smallset)
 from ..stages.signatures import SignatureStage
