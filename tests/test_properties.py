@@ -1,0 +1,86 @@
+"""Property-based checks (hypothesis) for the pure kernels — the
+determinism contracts every distributed stage relies on."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from deduplicator_go_ray.functions.hashing import rolling_hashes
+from deduplicator_go_ray.functions.shingles import char_shingles_u64, jaccard
+from deduplicator_go_ray.functions.text import extract_text
+from deduplicator_go_ray.functions.urls import canonicalize_url
+from deduplicator_go_ray.stages.suffix import lcs_length
+
+SMALL = settings(max_examples=60, deadline=None)
+
+
+def _lcs_brute(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(i + best + 1, len(a) + 1):
+            if a[i:j] in b:
+                best = j - i
+            else:
+                break
+    return best
+
+
+@SMALL
+@given(st.text(alphabet="abcd ", max_size=40), st.text(alphabet="abcd ", max_size=40))
+def test_lcs_matches_bruteforce(a, b):
+    assert lcs_length(a, b) == _lcs_brute(a, b)
+
+
+@SMALL
+@given(st.binary(max_size=500))
+def test_extract_total_and_deterministic(data):
+    t1, e1 = extract_text(data)
+    t2, e2 = extract_text(data)
+    assert (t1, e1) == (t2, e2)
+    assert (t1 == "") == (e1 is not None)
+
+
+@SMALL
+@given(st.text(max_size=300))
+def test_extract_roundtrip_idempotent_on_plain_text(s):
+    # plain text without markup survives extraction up to whitespace
+    # normalization, and a second pass is a no-op
+    t1, e1 = extract_text(s.encode("utf-8"))
+    if e1 is not None:
+        return
+    t2, e2 = extract_text(t1.encode("utf-8"))
+    assert e2 is None
+    assert t2 == t1
+
+
+@SMALL
+@given(st.binary(min_size=0, max_size=300), st.integers(min_value=2, max_value=16))
+def test_rolling_hash_window_locality(data, k):
+    """Equal windows hash equally; count is len-k+1."""
+    h = rolling_hashes(data, k)
+    n = max(0, len(data) - k + 1)
+    assert h.size == n
+    for i in range(min(n, 8)):
+        for j in range(i + 1, min(n, 8)):
+            if data[i:i + k] == data[j:j + k]:
+                assert h[i] == h[j]
+
+
+@SMALL
+@given(st.text(alphabet="abcdefg ", min_size=0, max_size=200))
+def test_shingles_deterministic_and_set_semantics(s):
+    a = char_shingles_u64(s, 5)
+    b = char_shingles_u64(s, 5)
+    assert np.array_equal(a, b)
+    assert np.unique(a).size == a.size          # distinct shingles
+    assert jaccard(a, a) in (1.0, 0.0)          # 0.0 only when empty
+
+
+@SMALL
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+               min_size=1, max_size=60))
+def test_url_canonicalization_idempotent(path):
+    u = f"https://Example.com/{path}"
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
