@@ -1,0 +1,46 @@
+"""Driver-contract conformance for __ray_entry__ (the harness gate):
+entry() smoke shape, queries/oracle key consistency, no ray.init in
+library code paths."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_entry_returns_assignments(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count()
+    assert n > 0
+    cols = set(ds.schema().names)
+    assert {"url", "cluster_id", "keeper_url", "is_keeper",
+            "action", "match_kind", "n_bytes", "partition_id"} <= cols
+
+
+def test_query_and_oracle_keys_consistent(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs), "every oracle needs a query"
+    assert len(qs) >= 40
+    assert len(osql) >= 25
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_no_ray_init_in_library():
+    """The driver initialises Ray itself; library code must never
+    (bench.py, CLI mains and tests own their sessions)."""
+    import pathlib
+
+    offenders = []
+    for p in pathlib.Path("/root/repo/deduplicator_go_ray").rglob("*.py"):
+        if p.name == "__main__.py":
+            continue  # CLI owns its session (guarded)
+        src = p.read_text()
+        if "ray.init(" in src:
+            offenders.append(str(p))
+    assert not offenders, offenders
