@@ -34,14 +34,65 @@ def mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def hash64_str(values: list[str] | np.ndarray, seed: int = 0) -> np.ndarray:
-    """Stable 64-bit hash of each string (first 8 bytes of blake2b)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    sd = seed.to_bytes(8, "little")
-    for i, v in enumerate(values):
-        h = hashlib.blake2b(v.encode("utf-8"), digest_size=8, salt=sd).digest()
-        out[i] = int.from_bytes(h, "little")
-    return out
+def _as_large_binary(values) -> "object":
+    """Arrow large_binary array view of a string/binary column or a
+    Python string list — one C-level conversion, no per-row Python."""
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.array(list(values), pa.large_string())
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_string() if pa.types.is_string(arr.type)
+                       else pa.large_binary())
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        import pyarrow.compute as pc
+        arr = pc.fill_null(arr, b"")
+    return arr
+
+
+def hash64_str(values, seed: int = 0) -> np.ndarray:
+    """Stable vectorized 64-bit hash per string/bytes value: polynomial
+    rolling hash over the utf-8 bytes (mod 2^64, prefix-sum scheme — one
+    O(total bytes) pass, zero-copy out of the Arrow buffers) mixed with
+    the length and seed through the splitmix64 finalizer.  Constants are
+    fixed, so values are identical across runs / batch splits /
+    partitionings (the determinism invariant, files/move.go:226-236).
+    Accepts list[str], numpy object arrays, or pyarrow (Chunked)Arrays.
+    """
+    arr = _as_large_binary(values)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs_buf = arr.buffers()[1]
+    offs = np.frombuffer(offs_buf, dtype=np.int64, count=n + 1,
+                         offset=arr.offset * 8)
+    base_off = offs[0]
+    total = int(offs[-1] - base_off)
+    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 0xA5A5A5A5A5A5A5A5)
+                   & 0xFFFFFFFFFFFFFFFF)
+    lens = (offs[1:] - offs[:-1]).astype(np.uint64)
+    lmix = mix64(lens + sd)
+    if total == 0:
+        return mix64(lmix)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=total, offset=int(base_off))
+    flat = data.astype(np.uint64)
+    pows, invpows = _power_tables(_ROLL_BASE, total)
+    t = np.cumsum(flat * invpows[:total], dtype=np.uint64)
+    s = (offs[:-1] - base_off).astype(np.int64)
+    e = (offs[1:] - base_off).astype(np.int64)
+    e1 = np.maximum(e - 1, 0)
+    te = t[e1]
+    ts = np.where(s > 0, t[np.maximum(s - 1, 0)], np.uint64(0))
+    h = pows[e1] * (te - ts)
+    h = np.where(lens > 0, h, np.uint64(0))
+    return mix64(h ^ lmix)
 
 
 def sha256_hex(texts: list[str]) -> list[str]:

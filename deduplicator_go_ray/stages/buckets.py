@@ -44,13 +44,64 @@ KIND_SIMHASH = 1
 KIND_ANCHOR = 2
 
 
-def uid_of_urls(urls: list[str]) -> np.ndarray:
-    """64-bit doc uid (int64 bit-view of blake2b-64).  At n documents
+def uid_of_urls(urls) -> np.ndarray:
+    """64-bit doc uid (int64 bit-view of the vectorized string hash);
+    accepts a list[str] or a pyarrow (Chunked)Array.  At n documents
     the chance of ANY collision is ~n²/2⁶⁵ — negligible below ~10^8
     docs per job; a collision would spuriously merge two clusters.  For
     larger single jobs switch the uid to 2×64 bits (and widen the edge
     schema) — the shuffle stays integer-keyed either way."""
     return hash64_str(urls, seed=3).view(np.int64)
+
+
+def sampled_hot_band_keys(
+    sigs: "ray.data.Dataset",
+    minhash: MinHashConfig,
+    lsh: LSHConfig,
+    sample_mod: int = 8,
+) -> np.ndarray:
+    """Hot-band detection on a deterministic 1/sample_mod document
+    sample (uid % sample_mod == 0 — a pure content-hash predicate, so
+    the hot set is identical at any parallelism).  A bucket of true
+    size S appears with ~S/sample_mod sampled members; keys whose
+    sampled count exceeds group_cap/sample_mod are flagged hot.  This
+    replaces the full band-rows pre-count groupby (r1 presalt path) —
+    same determinism, 1/sample_mod the shuffle volume, and it feeds the
+    ONE fused shuffle instead of a separate string-keyed band path."""
+    b, r = minhash.bands, minhash.rows
+    mod = np.uint64(sample_mod)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        uid = uid_of_urls(batch["url"]).view(np.uint64)
+        ns = np.asarray(batch["n_shingles"], dtype=np.int64)
+        keep = (uid % mod == 0) & (ns > 0)
+        kn = int(keep.sum())
+        if not kn:
+            return pa.table({"key": pa.array([], pa.int64())})
+        sig = np.asarray(batch["minhash"].combine_chunks().flatten()
+                         ).reshape(n, b, r)[keep]
+        bkeys = combine64(sig, axis=2)
+        bkeys = mix64(bkeys + (np.arange(b, dtype=np.uint64) << np.uint64(1))[None, :])
+        return pa.table({"key": pa.array(bkeys.reshape(-1).view(np.int64),
+                                         pa.int64())})
+
+    counts = sigs.map_batches(explode, batch_format="pyarrow").groupby("key").count()
+    from .common import schema_names
+    names = [c for c in schema_names(counts) if c != "key"]
+    if not names:
+        return np.empty(0, dtype=np.int64)
+    cap = max(1, lsh.group_cap // sample_mod)
+    import pyarrow.compute as pc
+    hot = counts.map_batches(
+        lambda t: t.select(["key"]).filter(pc.greater(t[names[0]], cap)),
+        batch_format="pyarrow")
+    parts = [np.asarray(bt["key"], np.int64) for bt in
+             hot.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    return (np.sort(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.int64))
 
 
 def bucket_rows(
@@ -59,15 +110,28 @@ def bucket_rows(
     simhash: SimHashConfig | None,
     with_anchors: bool,
     chunk_bits: int = 16,
+    hot_band_keys: np.ndarray | None = None,
+    num_salts: int = 16,
 ) -> "ray.data.Dataset":
     # chunk_bits=16 → 4 chunks: pigeonhole guarantee for hamming ≤ 3 and
     # ~2^16 values per chunk slot, so buckets stay small even at 10^6+
     # docs (8-bit chunks collapse into a few hundred giant buckets that
     # the group cap then drops — zero recall AND wasted shuffle)
-    """Explode one signature row into all of its bucket rows."""
+    """Explode one signature row into all of its bucket rows.
+
+    ``hot_band_keys`` (sorted int64, from :func:`sampled_hot_band_keys`)
+    activates in-flight salting: a band row whose key is hot gets
+    key = mix64(key + uid%num_salts + 1) and flag=True — the giant
+    bucket splits across num_salts reducers, and the reducer emits
+    chain-only edges for flagged rows (north-rule skew handling fused
+    into the single shuffle)."""
+    import ray as _ray
+
     b, r = minhash.bands, minhash.rows
     n_chunks = 64 // chunk_bits
     mask = np.uint64((1 << chunk_bits) - 1)
+    hot_ref = (_ray.put(np.asarray(hot_band_keys, dtype=np.int64))
+               if hot_band_keys is not None and len(hot_band_keys) else None)
 
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -80,8 +144,7 @@ def bucket_rows(
         })
         if n == 0:
             return empty
-        urls = batch["url"].to_pylist()
-        uid = uid_of_urls(urls)
+        uid = uid_of_urls(batch["url"])
         ns = np.asarray(batch["n_shingles"], dtype=np.int64)
         keep = ns > 0
         keys_out: list[np.ndarray] = []
@@ -96,11 +159,24 @@ def bucket_rows(
                              ).reshape(n, b, r)[keep]
             bkeys = combine64(sig, axis=2)                       # (kn, b)
             bkeys = mix64(bkeys + (np.arange(b, dtype=np.uint64) << np.uint64(1))[None, :])
-            keys_out.append(bkeys.reshape(-1).view(np.int64))
+            flat_keys = bkeys.reshape(-1).view(np.int64)
+            band_uid = np.repeat(uid[keep], b)
+            flags = np.zeros(kn * b, dtype=bool)
+            if hot_ref is not None:
+                hot_sorted = _ray.get(hot_ref)
+                is_hot = np.isin(flat_keys, hot_sorted)
+                if is_hot.any():
+                    salt = (band_uid[is_hot].view(np.uint64)
+                            % np.uint64(num_salts)) + np.uint64(1)
+                    flat_keys = flat_keys.copy()
+                    flat_keys[is_hot] = mix64(
+                        flat_keys[is_hot].view(np.uint64) + salt).view(np.int64)
+                    flags[is_hot] = True
+            keys_out.append(flat_keys)
             kind_out.append(np.zeros(kn * b, dtype=np.int8))
-            uid_out.append(np.repeat(uid[keep], b))
+            uid_out.append(band_uid)
             pay_out.append(np.zeros(kn * b, dtype=np.int64))
-            flag_out.append(np.zeros(kn * b, dtype=bool))
+            flag_out.append(flags)
 
             if simhash is not None:
                 sh = np.asarray(batch["simhash"], dtype=np.uint64)[keep]
@@ -163,7 +239,7 @@ def _semi_filter_by_uid(ds: "ray.data.Dataset", uid_sorted: np.ndarray,
 
     def f(batch: pa.Table) -> pa.Table:
         ids = _ray.get(ref)
-        uid = uid_of_urls(batch["url"].to_pylist())
+        uid = uid_of_urls(batch["url"])
         keep = np.isin(uid, ids)
         out = batch.filter(pa.array(keep))
         return pa.table({
@@ -271,11 +347,245 @@ def verify_containment_edges(
     return pairs.map_batches(check, batch_format="pyarrow")
 
 
+def semi_filter_by_uid_refs(
+    ds: "ray.data.Dataset",
+    uid_ds: "ray.data.Dataset",
+    columns: list[str],
+) -> "ray.data.Dataset":
+    """Keep ds rows whose uid(url) appears in ``uid_ds`` (a materialized
+    single-column ``uid`` Dataset) — the uid set is broadcast as OBJECT
+    STORE BLOCK REFS, never collected on the driver (VERDICT r1 "what's
+    wrong" #2): each worker fetches the Arrow blocks zero-copy and
+    builds the sorted lookup array once (cached per process)."""
+    import ray as _ray
+    from .lsh import block_refs_of
+
+    refs = tuple(block_refs_of(uid_ds))
+
+    def sorted_uids(key):
+        hit = _UID_CACHE.get(key)
+        if hit is None:
+            tables = _ray.get(list(refs))
+            arrs = [np.asarray(t["uid"], np.int64) for t in tables if len(t)]
+            hit = (np.sort(np.concatenate(arrs)) if arrs
+                   else np.empty(0, dtype=np.int64))
+            _UID_CACHE[key] = hit
+        return hit
+
+    def f(batch: pa.Table) -> pa.Table:
+        wanted = sorted_uids((refs, "uid_sorted"))
+        uid = uid_of_urls(batch["url"])
+        keep = np.isin(uid, wanted)
+        return batch.select(columns).filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def semi_filter_by_uid_partitioned(
+    ds: "ray.data.Dataset",
+    uid_ds: "ray.data.Dataset",
+    columns: list[str],
+    num_partitions: int = 128,
+) -> "ray.data.Dataset":
+    """Hash-partitioned semi-join on uid(url): nothing is broadcast and
+    nothing lands on the driver — the scale path above
+    ``broadcast_max_reps`` (same shape as the reference's candidate
+    gating by shared state, expressed as one packed shuffle).  The ds
+    payload ships through the shuffle once; int columns are restored
+    after the null-padded union."""
+    # marker rows carry sentinel zeros for the payload's int columns —
+    # an int64 column that is null on ANY side round-trips through
+    # pandas as float64 and corrupts values above 2^53
+    int_cols: dict[str, pa.DataType] = {}
+    schema = ds.schema(fetch_if_missing=False)
+    if schema is not None:
+        for name, typ in zip(schema.names, schema.types):
+            if name in columns and pa.types.is_integer(typ):
+                int_cols[name] = typ
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "uid": pa.array(uid_of_urls(t["url"]), pa.int64()),
+            **{c: t[c] for c in columns},
+            "__m": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        })
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "uid": t["uid"],
+            **{c: pa.array(np.zeros(n, np.int64), typ)
+               for c, typ in int_cols.items()},
+            "__m": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    left = ds.map_batches(tag_left, batch_format="pyarrow")
+    right = uid_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def keep_marked(df: pd.DataFrame) -> pd.DataFrame:
+        marked = df.loc[df["__m"] == 1, "uid"].unique()
+        out = df[(df["__m"] == 0) & df["uid"].isin(marked)]
+        return out.drop(columns="__m")
+
+    return grouped_apply(left.union(right), ["uid"], keep_marked,
+                         num_partitions=num_partitions)
+
+
+def _attach_payload_partitioned(
+    edges: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    endpoint: str,
+    out_col: str,
+    num_partitions: int = 128,
+    int_cols: "dict[str, pa.DataType] | None" = None,
+) -> "ray.data.Dataset":
+    """Inner-join ``payload`` (uid, value) onto edge rows keyed by the
+    ``endpoint`` column — one hash-partitioned packed shuffle, pandas
+    merge per partition.  Building block of the flood-verify fallback.
+    ``int_cols`` (edge-side integer columns) must be passed when the
+    edges dataset is lazy (schema unknown without executing)."""
+    if int_cols is None:
+        e_schema = edges.schema(fetch_if_missing=False)
+        int_cols = ({n: t for n, t in zip(e_schema.names, e_schema.types)
+                     if pa.types.is_integer(t)} if e_schema is not None else {})
+
+    def tag_e(t: pa.Table) -> pa.Table:
+        out = t.append_column("__k", t[endpoint])
+        return out.append_column(
+            "__m", pa.array(np.zeros(len(t), np.int8), pa.int8()))
+
+    def tag_p(t: pa.Table) -> pa.Table:
+        n = len(t)
+        # sentinel zeros for every edge int column so no int64 column is
+        # ever null-padded (pandas would promote it to lossy float64)
+        return pa.table({
+            "__k": t["uid"],
+            **{c: pa.array(np.zeros(n, np.int64), typ)
+               for c, typ in int_cols.items()},
+            out_col: t["value"],
+            "__m": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    e = edges.map_batches(tag_e, batch_format="pyarrow")
+    p = payload.map_batches(tag_p, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_p = df["__m"] == 1
+        pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
+        eg = df.loc[~is_p].drop(
+            columns=[c for c in (out_col, "__m") if c in df.columns])
+        return eg.merge(pay, on="__k", how="inner").drop(columns="__k")
+
+    return grouped_apply(e.union(p), ["__k"], merge,
+                         num_partitions=num_partitions)
+
+
+def _sig_blob_table(sigs: "ray.data.Dataset", P: int) -> "ray.data.Dataset":
+    """(uid, value=fixed_size_binary signature) rows from the signature
+    table — zero-copy blob view, no per-row Python."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        uid = uid_of_urls(t["url"])
+        sig = np.ascontiguousarray(
+            np.asarray(t["minhash"].combine_chunks().flatten()
+                       ).reshape(n, P))
+        blob = pa.Array.from_buffers(
+            pa.binary(P * 8), n, [None, pa.py_buffer(sig.tobytes())])
+        return pa.table({"uid": pa.array(uid, pa.int64()), "value": blob})
+
+    return sigs.select_columns(["url", "minhash"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def verify_near_edges_partitioned(
+    edges: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    cfg: MinHashConfig,
+    num_partitions: int = 128,
+) -> "ray.data.Dataset":
+    """Flood-verify fallback (≥ ``smallset_max_edges`` candidates): the
+    broadcast signature index would exceed worker memory, so signatures
+    are attached to edges through two hash-partitioned joins (on u, then
+    v) and scored vectorized per batch.  Semantically identical to
+    :func:`verify_near_edges` (equality-tested)."""
+    P = cfg.num_perms
+    blobs = _sig_blob_table(sigs, P)
+    edge_ints = {"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+    both = _attach_payload_partitioned(
+        _attach_payload_partitioned(edges, blobs, "u", "sig_u",
+                                    num_partitions, int_cols=edge_ints),
+        blobs, "v", "sig_v", num_partitions, int_cols=edge_ints)
+    thr = cfg.verify_threshold
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8())})
+        a = np.frombuffer(b"".join(batch["sig_u"].to_pylist()),
+                          dtype=np.uint64).reshape(n, P)
+        bb = np.frombuffer(b"".join(batch["sig_v"].to_pylist()),
+                           dtype=np.uint64).reshape(n, P)
+        keep = (a == bb).mean(axis=1) >= thr
+        m = pa.array(keep)
+        return pa.table({
+            "u": pc_cast_i64(batch["u"].filter(m)),
+            "v": pc_cast_i64(batch["v"].filter(m)),
+            "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
+        })
+
+    return both.map_batches(score, batch_format="pyarrow")
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as pc
+    return pc.cast(col, pa.int64())
+
+
+def verify_containment_edges_partitioned(
+    pairs: "ray.data.Dataset",
+    texts: "ray.data.Dataset",
+    num_partitions: int = 128,
+) -> "ray.data.Dataset":
+    """Flood fallback for substring verification: texts attach to the
+    candidate pairs through two partitioned joins (texts ship through
+    the packed shuffle once) instead of a broadcast text index."""
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"uid": pa.array(uid_of_urls(t["url"]), pa.int64()),
+                         "value": t["text"]})
+
+    blobs = texts.select_columns(["url", "text"]).map_batches(
+        to_payload, batch_format="pyarrow")
+    edge_ints = {"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+    both = _attach_payload_partitioned(
+        _attach_payload_partitioned(pairs, blobs, "u", "text_u",
+                                    num_partitions, int_cols=edge_ints),
+        blobs, "v", "text_v", num_partitions, int_cols=edge_ints)
+
+    def check(batch: pa.Table) -> pa.Table:
+        keep = [bool(ta) and bool(tb) and (ta in tb)
+                for ta, tb in zip(batch["text_u"].to_pylist(),
+                                  batch["text_v"].to_pylist())]
+        m = pa.array(keep)
+        return pa.table({
+            "u": pc_cast_i64(batch["u"].filter(m)),
+            "v": pc_cast_i64(batch["v"].filter(m)),
+            "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
+        })
+
+    return both.map_batches(check, batch_format="pyarrow")
+
+
 def _chain_star_pairs(uids: np.ndarray, sizes: np.ndarray, starts: np.ndarray,
-                      clique_cap: int, group_cap: int):
+                      clique_cap: int, group_cap: int,
+                      star_allowed: np.ndarray | None = None):
     """Vectorized bounded pair emission for sorted band buckets laid out
     consecutively: chain edges for every bucket, plus star-to-min for
-    buckets ≤ group_cap (hot buckets stay chain-only)."""
+    buckets ≤ group_cap (hot/salted buckets stay chain-only via
+    ``star_allowed``, a per-bucket bool mask)."""
     total = uids.size
     # chain: consecutive members within a bucket
     idx = np.arange(total)
@@ -286,7 +596,10 @@ def _chain_star_pairs(uids: np.ndarray, sizes: np.ndarray, starts: np.ndarray,
     # star: member -> bucket minimum (first element, sorted) for members
     # at local position ≥ 2, only in buckets ≤ group_cap
     local = idx - np.repeat(starts, sizes)
-    star_ok = np.repeat(sizes <= group_cap, sizes) & (local >= 2)
+    allowed = sizes <= group_cap
+    if star_allowed is not None:
+        allowed = allowed & star_allowed
+    star_ok = np.repeat(allowed, sizes) & (local >= 2)
     first = np.repeat(uids[starts], sizes)
     u_star = first[star_ok]
     v_star = uids[star_ok]
@@ -317,12 +630,14 @@ def candidate_edges_fused(
                 ["key", "uid"], kind="mergesort")
             k = band["key"].to_numpy()
             uids = band["uid"].to_numpy()
+            flags = band["flag"].to_numpy()
             starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
             sizes = np.diff(np.r_[starts, k.size])
             multi = sizes > 1
             if multi.any():
                 u, v = _chain_star_pairs(uids, sizes, starts,
-                                         lsh.clique_cap, lsh.group_cap)
+                                         lsh.clique_cap, lsh.group_cap,
+                                         star_allowed=~flags[starts])
                 outs.append(pd.DataFrame({
                     "u": u, "v": v,
                     "kind": np.full(u.size, KIND_BAND, dtype=np.int8)}))

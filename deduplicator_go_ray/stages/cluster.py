@@ -107,8 +107,8 @@ def connected_components_distributed(
                 hu = mix64(np.asarray(u, np.int64).view(np.uint64))
                 hv = mix64(np.asarray(v, np.int64).view(np.uint64))
             else:
-                hu = hash64_str(u.to_pylist())
-                hv = hash64_str(v.to_pylist())
+                hu = hash64_str(u)
+                hv = hash64_str(v)
             acc ^= int(np.bitwise_xor.reduce(mix64(hu * np.uint64(3) + hv)))
         return (n, acc)
 

@@ -29,7 +29,7 @@ def _key_hash(batch: pa.Table, keys: list[str], seed: int = 11) -> np.ndarray:
     for k in keys:
         col = batch[k]
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            h = hash64_str(col.to_pylist(), seed=seed)
+            h = hash64_str(col, seed=seed)
         else:
             h = mix64(np.asarray(col.cast(pa.int64())).view(np.uint64))
         acc = mix64(acc * np.uint64(0x9E3779B97F4A7C15) + h)
@@ -106,7 +106,13 @@ def grouped_apply(
             return partition_fn(pd.DataFrame())
         # unioned inputs may disagree on column ORDER — unify by name
         full = pa.concat_tables(tables, promote_options="default")
-        return partition_fn(full.to_pandas())
+        out = partition_fn(full.to_pandas())
+        # pin the output block to Arrow: heterogeneous pandas/arrow
+        # block schemas otherwise leak PandasBlockSchema into downstream
+        # schema unification (BENCH_r01 tail warning)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return out
 
     return (
         ds.map_batches(pack, batch_format="pyarrow")

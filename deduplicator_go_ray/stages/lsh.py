@@ -94,7 +94,7 @@ def salt_bands(bands: "ray.data.Dataset", hot: np.ndarray, cfg: LSHConfig) -> "r
         if hot_sorted.size:
             is_hot = np.isin(keys, hot_sorted)
             if is_hot.any():
-                uh = hash64_str([u for u, h in zip(batch["url"].to_pylist(), is_hot) if h])
+                uh = hash64_str(batch["url"].filter(pa.array(is_hot)))
                 salt[is_hot] = (uh % np.uint64(cfg.num_salts)).astype(np.int32) + 1
         return batch.append_column("salt", pa.array(salt, pa.int32()))
 

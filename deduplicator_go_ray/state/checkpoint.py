@@ -45,7 +45,7 @@ PART_SEED = 7  # must match pipelines.dedup lineage hashing
 def add_partition_id(ds: "ray.data.Dataset", num_partitions: int,
                      url_col: str = "url") -> "ray.data.Dataset":
     def f(batch: pa.Table) -> pa.Table:
-        pid = (hash64_str(batch[url_col].to_pylist(), seed=PART_SEED)
+        pid = (hash64_str(batch[url_col], seed=PART_SEED)
                % np.uint64(num_partitions)).astype(np.int64)
         return batch.append_column("partition_id", pa.array(pid, pa.int64()))
 
@@ -276,7 +276,7 @@ def run_dedup_checkpointed(
     assignments = run_dedup(
         hashed_all.map_batches(
             lambda t: t.drop_columns(
-                [c for c in ("text_sha256", "n_bytes", "partition_id")
+                [c for c in ("text_sha256", "key64", "n_bytes", "partition_id")
                  if c in t.column_names]),
             batch_format="pyarrow"),
         cfg)

@@ -168,3 +168,44 @@ def test_presalted_hot_band_path_same_assignments(corpus):
     b = forced.sort_values("url").reset_index(drop=True)
     for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_flood_verify_partitioned_same_assignments(corpus):
+    """VERDICT r1 #1: the size-aware verification fallback.  Forcing
+    smallset_max_edges=0 routes EVERY candidate through the
+    hash-partitioned attach-verify (no broadcast signature/text index);
+    assignments must be byte-identical to the broadcast plan."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    flood = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(smallset_max_edges=0),      # force the flood path
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = flood.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
+
+
+def test_texts_through_shuffle_same_assignments(corpus):
+    """VERDICT r1 #2: above broadcast_max_reps the rep texts ride the
+    exact packed shuffle instead of a broadcast uid semi-filter —
+    no O(n_reps) structure anywhere.  Same assignments either way."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    big = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(broadcast_max_reps=0),      # force the shuffle path
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = big.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
