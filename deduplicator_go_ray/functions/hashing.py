@@ -45,7 +45,8 @@ def _as_large_binary(values) -> "object":
         arr = values
     else:
         arr = pa.array(list(values), pa.large_string())
-    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+    if (pa.types.is_string(arr.type) or pa.types.is_binary(arr.type)
+            or pa.types.is_fixed_size_binary(arr.type)):
         arr = arr.cast(pa.large_string() if pa.types.is_string(arr.type)
                        else pa.large_binary())
     if pa.types.is_large_string(arr.type):

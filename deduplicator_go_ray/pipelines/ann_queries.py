@@ -160,32 +160,65 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     # probe set per query: NPROBE nearest centroids
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :NPROBE]
     probe_labels = cent_labels[probe]                   # (nq, NPROBE)
-    ref = ray.put((qids, Q, probe_labels, C, cent_labels))
+    probe_union = np.unique(probe_labels)
+    ref = ray.put((C, cent_labels, probe_union))
 
-    def search(t: pa.Table) -> pa.Table:
-        q_ids, QM, probes, CM, clabels = ray.get(ref)
+    # ---- route: assign each vector its IVF cell and DROP vectors in
+    # unprobed cells BEFORE any query scoring — the actual compute
+    # pruning (VERDICT r1: the old path scored everything then masked).
+    # The routing matmul is (n × n_cells); query scoring then touches
+    # only the probed cells' vectors.
+    def route(t: pa.Table) -> pa.Table:
+        CM, clabels, wanted = ray.get(ref)
         ids = np.asarray(t["vec_id"], dtype=np.int64)
         V = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
-        # route each vector to its nearest centroid (IVF cell)
         cell = clabels[np.argmax(V @ CM.T, axis=1)]
-        S = QM @ V.T
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(q_ids)):
-            in_cell = np.isin(cell, probes[qi]) & (ids != q_ids[qi])
-            cand_ids, cand_s = ids[in_cell], S[qi][in_cell]
-            if cand_ids.size > TOP_K:
-                part = np.argpartition(-cand_s, TOP_K)[:TOP_K]
-                cand_ids, cand_s = cand_ids[part], cand_s[part]
-            out_q.append(np.full(cand_ids.size, q_ids[qi], dtype=np.int64))
-            out_n.append(cand_ids)
-            out_s.append(cand_s)
+        keep = np.isin(cell, wanted)
         return pa.table({
-            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "cell_id": pa.array(cell[keep], pa.int64()),
+            "embedding": t["embedding"].combine_chunks().filter(pa.array(keep)),
         })
 
-    partials = emb.map_batches(search, batch_format="pyarrow")
+    routed = emb.map_batches(route, batch_format="pyarrow")
+
+    # ---- per-cell search: cell_id is the shuffle key (the scale plan —
+    # each reducer holds complete cells and scores them only against the
+    # queries probing that cell)
+    nq = len(qids)
+    probes_per_cell: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for lab in probe_labels[qi]:
+            probes_per_cell.setdefault(int(lab), []).append(qi)
+
+    def search_cells(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cell, g in df.groupby("cell_id", sort=False):
+            qs = probes_per_cell.get(int(cell))
+            if not qs:
+                continue
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            V = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+            S = Q[qs] @ V.T                              # (|qs|, cell)
+            for row, qi in enumerate(qs):
+                m = ids != qids[qi]
+                cand_ids, cand_s = ids[m], S[row][m]
+                if cand_ids.size > TOP_K:
+                    part = np.argpartition(-cand_s, TOP_K)[:TOP_K]
+                    cand_ids, cand_s = cand_ids[part], cand_s[part]
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(cand_ids.size, qids[qi], dtype=np.int64),
+                    "neighbor_id": cand_ids,
+                    "sim": cand_s,
+                }))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = grouped_apply(routed, ["cell_id"], search_cells,
+                             num_partitions=16)
 
     def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -231,14 +264,26 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
         V = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
         vsig = (np.einsum("tpd,nd->tnp", PL, V) > 0)
         vbits = (vsig << np.arange(PL.shape[1])).sum(axis=2)  # (T, n)
-        S = QM @ V.T
+        # prune BEFORE scoring: only vectors sharing ≥1 bucket with ≥1
+        # query are scored — the cheap signature pass gates the matmul
+        # (at scale the bucket id becomes the shuffle key, as in
+        # ann_ivf_topk's routed plan)
+        any_q = np.zeros(len(ids), dtype=bool)
+        for tbl in range(PL.shape[0]):
+            any_q |= np.isin(vbits[tbl], QB[tbl])
+        ids_k, V_k, vbits_k = ids[any_q], V[any_q], vbits[:, any_q]
+        if ids_k.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        S = QM @ V_k.T
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q_ids)):
-            cand = np.zeros(len(ids), dtype=bool)
+            cand = np.zeros(ids_k.size, dtype=bool)
             for tbl in range(PL.shape[0]):
-                cand |= vbits[tbl] == QB[tbl, qi]
-            cand &= ids != q_ids[qi]
-            cand_ids, cand_s = ids[cand], S[qi][cand]
+                cand |= vbits_k[tbl] == QB[tbl, qi]
+            cand &= ids_k != q_ids[qi]
+            cand_ids, cand_s = ids_k[cand], S[qi][cand]
             if cand_ids.size > TOP_K:
                 part = np.argpartition(-cand_s, TOP_K)[:TOP_K]
                 cand_ids, cand_s = cand_ids[part], cand_s[part]
@@ -292,4 +337,29 @@ def embedding_clusters(sf_dir: str) -> pd.DataFrame:
     })
 
 
-register("embedding_clusters", embedding_clusters)
+def _embedding_clusters_sql() -> str:
+    from .dedup_queries import COSINE_THRESHOLD
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {COSINE_THRESHOLD}),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u)
+    SELECT u AS vec_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_root,
+           (u = LEAST(u, MIN(v))) AS is_keeper
+    FROM reach GROUP BY u
+    """
+
+
+# union-find re-expressed as a transitive-closure recursive CTE — exact
+# for the small sf oracle inputs (closure is quadratic; the Ray side is
+# the scale path)
+register("embedding_clusters", embedding_clusters, _embedding_clusters_sql())

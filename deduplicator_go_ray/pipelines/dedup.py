@@ -32,7 +32,6 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..functions.hashing import hash64_str
-from ..stages.cluster import resolve_components
 from ..stages.common import grouped_apply
 from ..stages.exact import add_content_key, assign_exact_groups
 from ..stages.extract import ExtractStage
@@ -259,14 +258,18 @@ def run_dedup(
                           cfg.simhash if cfg.run_simhash else None,
                           with_anchors=cfg.run_substring_pass,
                           hot_band_keys=hot,
-                          num_salts=cfg.lsh.num_salts)
+                          num_salts=cfg.lsh.num_salts,
+                          uid_bits=cfg.uid_bits)
     cand = candidate_edges_fused(
         buckets, cfg.lsh, cfg.simhash.hamming_threshold,
         num_partitions=cfg.bucket_partitions).materialize()
     timer.tick("candidates")
 
+    from ..stages.buckets import uid_np, uid_pa_type
+
     _empty_uid_edges = pa.table({
-        "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+        "u": pa.array([], uid_pa_type(cfg.uid_bits)),
+        "v": pa.array([], uid_pa_type(cfg.uid_bits)),
         "kind": pa.array([], pa.int8()),
     })
     n_cand = cand.count()
@@ -287,11 +290,13 @@ def run_dedup(
                                           verify_near_edges_partitioned)
             edge_sets = [verify_near_edges_partitioned(
                 near_cand, sigs, cfg.minhash,
-                num_partitions=cfg.bucket_partitions)]
+                num_partitions=cfg.bucket_partitions,
+                uid_bits=cfg.uid_bits)]
             if cfg.run_substring_pass:
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
                 edge_sets.append(verify_containment_edges_partitioned(
-                    sub_cand, reps, num_partitions=cfg.bucket_partitions))
+                    sub_cand, reps, num_partitions=cfg.bucket_partitions,
+                    uid_bits=cfg.uid_bits))
         else:
             edge_sets = [verify_near_edges(near_cand, sigs, cfg.minhash)]
             if cfg.run_substring_pass:
@@ -301,45 +306,83 @@ def run_dedup(
                       if len(edge_sets) > 1 else edge_sets[0]).materialize()
     timer.tick("verify+edges")
 
-    # substring-tagged endpoint uids: bounded by verified substring
-    # pairs (≪ corpus) — a small sorted array probed with np.isin
-    sub_parts = []
-    sub_tbl = all_tagged.filter(expr=f"kind == {KIND_ANCHOR}")
-    for b in sub_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        sub_parts.append(np.asarray(b["u"], np.int64))
-        sub_parts.append(np.asarray(b["v"], np.int64))
-    sub_uid_arr = (np.unique(np.concatenate(sub_parts)) if sub_parts
-                   else np.empty(0, np.int64))
-    all_edges = all_tagged.select_columns(["u", "v"])
-
     # ---- components → rep cluster assignment -------------------------------
-    comp = resolve_components(all_edges, cfg.driver_dsu_max_edges,
-                              key_type=pa.int64())  # (url=uid, root=uid)
-    rep_clusters = comp.materialize()
-    n_comp = rep_clusters.count()
+    # below driver_dsu_max_edges the verified edge table is pulled to the
+    # driver ONCE and the substring-uid set, the union-find, and the
+    # component map all come out of that single pull — each extra
+    # Dataset execution costs ~1-2 s of scheduler fixed time regardless
+    # of data size, the dominant term of the N-vs-4N efficiency gap.
+    n_edges = all_tagged.count()  # metadata — all_tagged is materialized
+    mapping: dict[int, int] | None = None
+    rep_clusters = None
+    if n_edges <= cfg.driver_dsu_max_edges:
+        us, vs, ks = [], [], []
+        for b in all_tagged.iter_batches(batch_size=262144,
+                                         batch_format="pyarrow"):
+            us.append(uid_np(b["u"], cfg.uid_bits))
+            vs.append(uid_np(b["v"], cfg.uid_bits))
+            ks.append(np.asarray(b["kind"], np.int8))
+        if us:
+            u_arr = np.concatenate(us)
+            v_arr = np.concatenate(vs)
+            k_arr = np.concatenate(ks)
+            sub_mask = k_arr == KIND_ANCHOR
+            sub_uid_arr = np.unique(np.concatenate(
+                [u_arr[sub_mask], v_arr[sub_mask]]))
+            from ..stages.cluster import connected_components_driver
+            mapping = connected_components_driver(
+                list(zip(u_arr.tolist(), v_arr.tolist())))
+        else:
+            sub_uid_arr = np.empty(0, np.int64)
+            mapping = {}
+        n_comp = len(mapping)
+    else:
+        # flood scale: substring uids + components via dataset ops
+        sub_parts = []
+        sub_tbl = all_tagged.filter(expr=f"kind == {KIND_ANCHOR}")
+        for b in sub_tbl.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            sub_parts.append(uid_np(b["u"], cfg.uid_bits))
+            sub_parts.append(uid_np(b["v"], cfg.uid_bits))
+        sub_uid_arr = (np.unique(np.concatenate(sub_parts)) if sub_parts
+                       else np.empty(0, np.int64))
+        from ..stages.cluster import connected_components_distributed
+        rep_clusters = connected_components_distributed(
+            all_tagged.select_columns(["u", "v"])).materialize()
+        n_comp = rep_clusters.count()
 
     def add_rep_uid(t: pa.Table) -> pa.Table:
-        from ..stages.buckets import uid_of_urls
+        from ..stages.buckets import uid_arrow, uid_of_urls
         return t.append_column(
-            "rep_uid", pa.array(uid_of_urls(t["rep_url"].to_pylist()), pa.int64()))
+            "rep_uid", uid_arrow(uid_of_urls(t["rep_url"], cfg.uid_bits)))
 
     members_u = members.map_batches(add_rep_uid, batch_format="pyarrow")
 
     if n_comp == 0:
         enriched = members_u.map_batches(
-            lambda t: t.append_column("near_root",
-                                      pa.array([None] * len(t), pa.int64())),
+            lambda t: t.append_column(
+                "near_root",
+                pa.array([None] * len(t), uid_pa_type(cfg.uid_bits))),
             batch_format="pyarrow")
     elif n_comp <= cfg.broadcast_max_reps:
         # the component map is tiny relative to the corpus (near-dup
         # members only) — broadcast it instead of a shuffle join
-        mapping: dict[int, int] = {}
-        for b in rep_clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            mapping.update(zip(b["url"].to_pylist(), b["root"].to_pylist()))
+        if mapping is None:
+            mapping = {}
+            for b in rep_clusters.iter_batches(batch_size=65536,
+                                               batch_format="pyarrow"):
+                mapping.update(zip(b["url"].to_pylist(),
+                                   b["root"].to_pylist()))
         enriched = broadcast_lookup(
             members_u, "rep_uid", mapping,
-            "near_root", out_type=pa.int64())
+            "near_root", out_type=uid_pa_type(cfg.uid_bits))
     else:
+        if rep_clusters is None:
+            urls_sorted = sorted(mapping)
+            rep_clusters = ray.data.from_arrow(pa.table({
+                "url": pa.array(urls_sorted, uid_pa_type(cfg.uid_bits)),
+                "root": pa.array([mapping[u] for u in urls_sorted],
+                                 uid_pa_type(cfg.uid_bits)),
+            }))
         enriched = left_attach(
             members_u,
             rep_clusters,
@@ -353,16 +396,18 @@ def run_dedup(
     def finalize(batch: pa.Table) -> pa.Table:
         # fully vectorized (VERDICT r1 #3): no per-row Python in this
         # corpus-wide stage
+        from ..stages.buckets import uid_arrow
         near = pc.is_valid(batch["near_root"]).to_numpy(zero_copy_only=False)
-        roots = np.asarray(pc.fill_null(batch["near_root"], 0), dtype=np.int64)
-        rep_uid = np.asarray(batch["rep_uid"], dtype=np.int64)
+        zero = 0 if cfg.uid_bits == 64 else b"\x00" * 16
+        roots = uid_np(pc.fill_null(batch["near_root"], zero), cfg.uid_bits)
+        rep_uid = uid_np(batch["rep_uid"], cfg.uid_bits)
         exact_sz = np.asarray(batch["exact_size"], dtype=np.int64)
         canonical = np.where(near, roots, rep_uid)
         kinds = np.select(
             [near & np.isin(rep_uid, sub_uid_arr), near, exact_sz > 1],
             ["substring", "near", "exact"],
             default="unique")
-        out = batch.append_column("canonical", pa.array(canonical, pa.int64()))
+        out = batch.append_column("canonical", uid_arrow(canonical))
         return out.append_column("match_kind",
                                  pa.array(kinds.tolist(), pa.string()))
 

@@ -168,6 +168,48 @@ register(
 
 
 # --------------------------------------------------------------------------
+# prune: dead-row detection (the liveness half of files/prune.go:
+# 122,175-204 — rows whose backing file is gone from the current
+# listing).  src1 plays the state table, src0 the live listing; a src1
+# row is dead when no src0 row carries its content hash.  The keyed-
+# shuffle membership filter is the same scale plan the checkpoint prune
+# op uses (state/checkpoint.py:prune_checkpoint).
+# --------------------------------------------------------------------------
+
+def prune_dead(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.joins import keyed_membership_filter
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def keyed(src: str):
+        def f(t: pa.Table) -> pa.Table:
+            kept = t.filter(pa.compute.equal(t["source"], src))
+            return pa.table({
+                "doc_id": kept["doc_id"],
+                "h": pa.array(_md5_col(kept["text"].to_pylist()), pa.string()),
+            })
+        return f
+
+    state = docs.map_batches(keyed("src1"), batch_format="pyarrow")
+    listing = docs.map_batches(keyed("src0"), batch_format="pyarrow")
+    dead = keyed_membership_filter(state, "h", listing, keys_col="h",
+                                   anti=True)
+    return dead.select_columns(["doc_id"])
+
+
+register(
+    "prune_dead",
+    prune_dead,
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE d.source = 'src1' AND NOT EXISTS (
+        SELECT 1 FROM documents l
+        WHERE l.source = 'src0' AND md5(l.text) = md5(d.text))
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # exact containment pairs (SQL-oracled substring dedup)
 # --------------------------------------------------------------------------
 

@@ -335,13 +335,24 @@ register(
 # src1 (files/import.go:269-281) — broadcast key set, no shuffle
 # --------------------------------------------------------------------------
 
+BROADCAST_MAX_KEYS = 1_000_000
+
+
 def import_anti_join(sf_dir: str) -> "ray.data.Dataset":
     docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     target = docs.filter(expr="source == 'src1'")
-    # small side: distinct target keys, collected once and broadcast
-    existing = {r["n_chars"] for r in target.select_columns(["n_chars"]).take_all()}
     candidates = docs.filter(expr="source == 'src0'")
-    new = broadcast_semi_filter(candidates, "n_chars", existing, anti=True)
+    target_keys = target.select_columns(["n_chars"]).materialize()
+    if target_keys.count() <= BROADCAST_MAX_KEYS:
+        # small side: distinct target keys, collected once and broadcast
+        existing = {r["n_chars"] for r in target_keys.take_all()}
+        new = broadcast_semi_filter(candidates, "n_chars", existing, anti=True)
+    else:
+        # large target: keyed-shuffle anti-join — nothing broadcast,
+        # nothing on the driver (the scale twin; equality-tested)
+        from ..stages.joins import keyed_membership_filter
+        new = keyed_membership_filter(
+            candidates, "n_chars", target_keys, anti=True)
     return new.select_columns(["doc_id"])
 
 

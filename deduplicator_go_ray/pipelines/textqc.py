@@ -218,9 +218,16 @@ register(
 
 
 # --------------------------------------------------------------------------
-# language ID + BPE token count + fingerprints — rows-only (heuristics,
-# not SQL-expressible; determinism + behavior covered in tests/)
+# language ID + BPE token count — heuristic kernels whose exact logic IS
+# re-expressible in DuckDB (regexp_extract_all is RE2; the patterns use
+# no backrefs), so both now carry oracles (VERDICT r1 next-round #4).
+# Fingerprints (seeded rolling hash) stay rows-only.
 # --------------------------------------------------------------------------
+
+def _stop_list_sql(lang: str) -> str:
+    from ..functions.textstats import _STOPWORDS
+    return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
 
 def lang_id_pred(sf_dir: str) -> "ray.data.Dataset":
     docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
@@ -236,7 +243,35 @@ def lang_id_pred(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-register("lang_id_pred", lang_id_pred)
+register(
+    "lang_id_pred",
+    lang_id_pred,
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_extract_all(lower(substr(text, 1, 4000)),
+                 '[a-zA-Zäöüßéèêàçñáíóúäöü]+')) AS ws,
+             regexp_matches(substr(text, 1, 2000),
+                 '[\\x{{4E00}}-\\x{{9FFF}}]') AS has_zh
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang, has_zh, len(ws) AS nw,
+        len(list_filter(ws, x -> x IN ({_stop_list_sql('en')}))) AS en,
+        len(list_filter(ws, x -> x IN ({_stop_list_sql('de')}))) AS de,
+        len(list_filter(ws, x -> x IN ({_stop_list_sql('fr')}))) AS fr,
+        len(list_filter(ws, x -> x IN ({_stop_list_sql('es')}))) AS es
+      FROM w)
+    SELECT doc_id, lang,
+      CASE WHEN has_zh THEN 'zh'
+           WHEN nw = 0 THEN 'unknown'
+           WHEN en >= 2 AND en >= de AND en >= fr AND en >= es THEN 'en'
+           WHEN de >= 2 AND de > en AND de >= fr AND de >= es THEN 'de'
+           WHEN fr >= 2 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+           WHEN es >= 2 AND es > en AND es > de AND es > fr THEN 'es'
+           ELSE 'unknown' END AS pred_lang
+    FROM h
+    """,
+)
 
 
 def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -253,7 +288,22 @@ def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-register("bpe_token_counts", bpe_token_counts)
+# the Python pattern, single-quote-escaped for SQL; both `re` and
+# DuckDB's RE2 use leftmost-first alternation, so match sets agree
+_BPE_SQL_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                r"| ?[^\sA-Za-z0-9]+|\s+").replace("'", "''")
+
+register(
+    "bpe_token_counts",
+    bpe_token_counts,
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
 
 
 def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
@@ -275,8 +325,12 @@ register("doc_fingerprints", doc_fingerprints)
 
 
 # --------------------------------------------------------------------------
-# url canonicalization (M9/M10 slot) — rows-only (urllib semantics are
-# not reproducible in SQL); determinism + rules covered in tests/
+# url canonicalization (M9/M10 slot) — the oracle encodes the expected
+# canonical form of this query's deterministic raw-url family (scheme/
+# host lowercase, default port dropped, // collapsed, trailing slash
+# trimmed, utm_* dropped, params sorted, fragment dropped), checking
+# the kernel's full output on these shapes; the urllib edge cases
+# beyond them are covered in tests/test_urls.py
 # --------------------------------------------------------------------------
 
 def canonical_urls(sf_dir: str) -> "ray.data.Dataset":
@@ -300,4 +354,17 @@ def canonical_urls(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-register("canonical_urls", canonical_urls)
+register(
+    "canonical_urls",
+    canonical_urls,
+    """
+    SELECT doc_id,
+           'HTTPS://Docs' || CAST(doc_id % 89 AS VARCHAR)
+               || '.Example:443//d/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=x&b=2&a=1#frag' AS url,
+           'https://docs' || CAST(doc_id % 89 AS VARCHAR)
+               || '.example/d/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=2' AS canonical_url
+    FROM documents
+    """,
+)

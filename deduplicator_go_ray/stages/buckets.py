@@ -44,14 +44,56 @@ KIND_SIMHASH = 1
 KIND_ANCHOR = 2
 
 
-def uid_of_urls(urls) -> np.ndarray:
-    """64-bit doc uid (int64 bit-view of the vectorized string hash);
-    accepts a list[str] or a pyarrow (Chunked)Array.  At n documents
-    the chance of ANY collision is ~n²/2⁶⁵ — negligible below ~10^8
-    docs per job; a collision would spuriously merge two clusters.  For
-    larger single jobs switch the uid to 2×64 bits (and widen the edge
-    schema) — the shuffle stays integer-keyed either way."""
-    return hash64_str(urls, seed=3).view(np.int64)
+def uid_of_urls(urls, bits: int = 64) -> np.ndarray:
+    """Doc uid from the url; accepts a list[str] or a pyarrow
+    (Chunked)Array.
+
+    ``bits=64`` (default): int64 bit-view of the vectorized string
+    hash.  At n documents the chance of ANY collision is ~n²/2⁶⁵ —
+    negligible below ~10^8 docs per job; a collision would spuriously
+    merge two clusters.
+
+    ``bits=128`` (``PipelineConfig.uid_bits``): 16-byte uid (two
+    independently-seeded 64-bit hashes) as a numpy OBJECT array of
+    full 16-byte ``bytes`` — collision-safe past 10^10-doc jobs.
+    (Not numpy ``S16``: fixed-S dtypes strip trailing NUL bytes on
+    item access, which corrupts 1-in-256 uids at fixed-width Arrow
+    boundaries.)  The fused shuffle stays int64-KEYED either way (the
+    bucket key is separate); only the doc identity payload widens."""
+    if bits == 64:
+        return hash64_str(urls, seed=3).view(np.int64)
+    if bits != 128:
+        raise ValueError(f"uid bits must be 64 or 128, got {bits}")
+    h1 = hash64_str(urls, seed=3)
+    h2 = hash64_str(urls, seed=1031)
+    buf = np.empty((len(h1), 2), dtype=np.uint64)
+    buf[:, 0] = h1
+    buf[:, 1] = h2
+    raw = buf.tobytes()
+    out = np.empty(len(h1), dtype=object)
+    for i in range(len(h1)):
+        out[i] = raw[i * 16:(i + 1) * 16]
+    return out
+
+
+def uid_arrow(arr: np.ndarray) -> pa.Array:
+    """Arrow array for a uid ndarray of either width (int64 or bytes)."""
+    if arr.dtype == np.int64:
+        return pa.array(arr, pa.int64())
+    return pa.array(arr.tolist(), pa.binary(16))
+
+
+def uid_pa_type(bits: int) -> pa.DataType:
+    return pa.int64() if bits == 64 else pa.binary(16)
+
+
+def uid_np(col, bits: int = 64) -> np.ndarray:
+    """Numpy array of a uid column of either width (int64 / object bytes)."""
+    if bits == 64:
+        return np.asarray(col, dtype=np.int64)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.array(col.to_pylist(), dtype=object)
 
 
 def sampled_hot_band_keys(
@@ -112,6 +154,7 @@ def bucket_rows(
     chunk_bits: int = 16,
     hot_band_keys: np.ndarray | None = None,
     num_salts: int = 16,
+    uid_bits: int = 64,
 ) -> "ray.data.Dataset":
     # chunk_bits=16 → 4 chunks: pigeonhole guarantee for hamming ≤ 3 and
     # ~2^16 values per chunk slot, so buckets stay small even at 10^6+
@@ -138,13 +181,13 @@ def bucket_rows(
         empty = pa.table({
             "key": pa.array([], pa.int64()),
             "kind": pa.array([], pa.int8()),
-            "uid": pa.array([], pa.int64()),
+            "uid": pa.array([], uid_pa_type(uid_bits)),
             "payload": pa.array([], pa.int64()),
             "flag": pa.array([], pa.bool_()),
         })
         if n == 0:
             return empty
-        uid = uid_of_urls(batch["url"])
+        uid = uid_of_urls(batch["url"], uid_bits)
         ns = np.asarray(batch["n_shingles"], dtype=np.int64)
         keep = ns > 0
         keys_out: list[np.ndarray] = []
@@ -166,8 +209,10 @@ def bucket_rows(
                 hot_sorted = _ray.get(hot_ref)
                 is_hot = np.isin(flat_keys, hot_sorted)
                 if is_hot.any():
-                    salt = (band_uid[is_hot].view(np.uint64)
-                            % np.uint64(num_salts)) + np.uint64(1)
+                    # salt source is a dedicated url hash (uid-width
+                    # independent, so 64/128-bit modes salt identically)
+                    s64 = np.repeat(hash64_str(batch["url"], seed=5)[keep], b)
+                    salt = (s64[is_hot] % np.uint64(num_salts)) + np.uint64(1)
                     flat_keys = flat_keys.copy()
                     flat_keys[is_hot] = mix64(
                         flat_keys[is_hot].view(np.uint64) + salt).view(np.int64)
@@ -212,7 +257,7 @@ def bucket_rows(
         return pa.table({
             "key": pa.array(np.concatenate(keys_out), pa.int64()),
             "kind": pa.array(np.concatenate(kind_out), pa.int8()),
-            "uid": pa.array(np.concatenate(uid_out), pa.int64()),
+            "uid": uid_arrow(np.concatenate(uid_out)),
             "payload": pa.array(np.concatenate(pay_out), pa.int64()),
             "flag": pa.array(np.concatenate(flag_out), pa.bool_()),
         })
@@ -220,11 +265,16 @@ def bucket_rows(
     return sigs.map_batches(explode, batch_format="pyarrow")
 
 
+def _uid_bits_of(col) -> int:
+    return 64 if pa.types.is_integer(col.type) else 128
+
+
 def _edge_uid_set(edges: "ray.data.Dataset") -> np.ndarray:
     uids: list[np.ndarray] = []
     for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        uids.append(np.asarray(b["u"], dtype=np.int64))
-        uids.append(np.asarray(b["v"], dtype=np.int64))
+        bits = _uid_bits_of(b["u"])
+        uids.append(uid_np(b["u"], bits))
+        uids.append(uid_np(b["v"], bits))
     return (np.unique(np.concatenate(uids)) if uids
             else np.empty(0, dtype=np.int64))
 
@@ -235,15 +285,16 @@ def _semi_filter_by_uid(ds: "ray.data.Dataset", uid_sorted: np.ndarray,
     vectorized np.isin per batch, no shuffle."""
     import ray as _ray
 
+    bits = 64 if uid_sorted.dtype == np.int64 else 128
     ref = _ray.put(uid_sorted)
 
     def f(batch: pa.Table) -> pa.Table:
         ids = _ray.get(ref)
-        uid = uid_of_urls(batch["url"])
+        uid = uid_of_urls(batch["url"], bits)
         keep = np.isin(uid, ids)
         out = batch.filter(pa.array(keep))
         return pa.table({
-            "uid": pa.array(uid[keep], pa.int64()),
+            "uid": uid_arrow(uid[keep]),
             **{c: out[c] for c in columns},
         })
 
@@ -266,7 +317,10 @@ def _uid_index(refs: tuple, columns: tuple[str, ...]):
               if len(t) and all(c in t.column_names for c in ("uid",) + columns)]
     if usable:
         tbl = pa.concat_tables([t.select(["uid", *columns]) for t in usable])
-        idx = pd.Index(np.asarray(tbl["uid"], dtype=np.int64))
+        if pa.types.is_integer(tbl["uid"].type):
+            idx = pd.Index(np.asarray(tbl["uid"], dtype=np.int64))
+        else:
+            idx = pd.Index(tbl["uid"].to_pylist())
         payload = [tbl[c] for c in columns]
     else:
         idx = pd.Index(np.empty(0, dtype=np.int64))
@@ -300,8 +354,9 @@ def verify_near_edges(
             m = (np.asarray(mh.combine_chunks().flatten()).reshape(len(idx), P)
                  if len(idx) else np.empty((0, P), np.uint64))
             _UID_CACHE[mkey] = m
-        iu = idx.get_indexer(np.asarray(batch["u"], dtype=np.int64))
-        iv = idx.get_indexer(np.asarray(batch["v"], dtype=np.int64))
+        bits = _uid_bits_of(batch["u"])
+        iu = idx.get_indexer(uid_np(batch["u"], bits))
+        iv = idx.get_indexer(uid_np(batch["v"], bits))
         ok = (iu >= 0) & (iv >= 0)
         est = np.zeros(len(batch))
         if ok.any():
@@ -330,8 +385,9 @@ def verify_containment_edges(
 
     def check(batch: pa.Table) -> pa.Table:
         idx, (txt,) = _uid_index(refs, ("text",))
-        iu = idx.get_indexer(np.asarray(batch["u"], dtype=np.int64))
-        iv = idx.get_indexer(np.asarray(batch["v"], dtype=np.int64))
+        bits = _uid_bits_of(batch["u"])
+        iu = idx.get_indexer(uid_np(batch["u"], bits))
+        iv = idx.get_indexer(uid_np(batch["v"], bits))
         keep = []
         for a, b in zip(iu, iv):
             if a < 0 or b < 0:
@@ -366,7 +422,9 @@ def semi_filter_by_uid_refs(
         hit = _UID_CACHE.get(key)
         if hit is None:
             tables = _ray.get(list(refs))
-            arrs = [np.asarray(t["uid"], np.int64) for t in tables if len(t)]
+            usable = [t for t in tables if len(t)]
+            arrs = [uid_np(t["uid"], _uid_bits_of(t["uid"]))
+                    for t in usable]
             hit = (np.sort(np.concatenate(arrs)) if arrs
                    else np.empty(0, dtype=np.int64))
             _UID_CACHE[key] = hit
@@ -374,7 +432,8 @@ def semi_filter_by_uid_refs(
 
     def f(batch: pa.Table) -> pa.Table:
         wanted = sorted_uids((refs, "uid_sorted"))
-        uid = uid_of_urls(batch["url"])
+        bits = 64 if wanted.dtype == np.int64 else 128
+        uid = uid_of_urls(batch["url"], bits)
         keep = np.isin(uid, wanted)
         return batch.select(columns).filter(pa.array(keep))
 
@@ -480,19 +539,20 @@ def _attach_payload_partitioned(
                          num_partitions=num_partitions)
 
 
-def _sig_blob_table(sigs: "ray.data.Dataset", P: int) -> "ray.data.Dataset":
+def _sig_blob_table(sigs: "ray.data.Dataset", P: int,
+                    uid_bits: int = 64) -> "ray.data.Dataset":
     """(uid, value=fixed_size_binary signature) rows from the signature
     table — zero-copy blob view, no per-row Python."""
 
     def f(t: pa.Table) -> pa.Table:
         n = len(t)
-        uid = uid_of_urls(t["url"])
+        uid = uid_of_urls(t["url"], uid_bits)
         sig = np.ascontiguousarray(
             np.asarray(t["minhash"].combine_chunks().flatten()
                        ).reshape(n, P))
         blob = pa.Array.from_buffers(
             pa.binary(P * 8), n, [None, pa.py_buffer(sig.tobytes())])
-        return pa.table({"uid": pa.array(uid, pa.int64()), "value": blob})
+        return pa.table({"uid": uid_arrow(uid), "value": blob})
 
     return sigs.select_columns(["url", "minhash"]).map_batches(
         f, batch_format="pyarrow")
@@ -503,6 +563,7 @@ def verify_near_edges_partitioned(
     sigs: "ray.data.Dataset",
     cfg: MinHashConfig,
     num_partitions: int = 128,
+    uid_bits: int = 64,
 ) -> "ray.data.Dataset":
     """Flood-verify fallback (≥ ``smallset_max_edges`` candidates): the
     broadcast signature index would exceed worker memory, so signatures
@@ -510,8 +571,9 @@ def verify_near_edges_partitioned(
     v) and scored vectorized per batch.  Semantically identical to
     :func:`verify_near_edges` (equality-tested)."""
     P = cfg.num_perms
-    blobs = _sig_blob_table(sigs, P)
-    edge_ints = {"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+    blobs = _sig_blob_table(sigs, P, uid_bits)
+    edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+                 if uid_bits == 64 else {"kind": pa.int8()})
     both = _attach_payload_partitioned(
         _attach_payload_partitioned(edges, blobs, "u", "sig_u",
                                     num_partitions, int_cols=edge_ints),
@@ -521,8 +583,8 @@ def verify_near_edges_partitioned(
     def score(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({"u": pa.array([], pa.int64()),
-                             "v": pa.array([], pa.int64()),
+            return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
+                             "v": pa.array([], uid_pa_type(uid_bits)),
                              "kind": pa.array([], pa.int8())})
         a = np.frombuffer(b"".join(batch["sig_u"].to_pylist()),
                           dtype=np.uint64).reshape(n, P)
@@ -531,35 +593,38 @@ def verify_near_edges_partitioned(
         keep = (a == bb).mean(axis=1) >= thr
         m = pa.array(keep)
         return pa.table({
-            "u": pc_cast_i64(batch["u"].filter(m)),
-            "v": pc_cast_i64(batch["v"].filter(m)),
+            "u": _uid_cast(batch["u"].filter(m), uid_bits),
+            "v": _uid_cast(batch["v"].filter(m), uid_bits),
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
     return both.map_batches(score, batch_format="pyarrow")
 
 
-def pc_cast_i64(col):
+def _uid_cast(col, uid_bits: int):
     import pyarrow.compute as pc
-    return pc.cast(col, pa.int64())
+    return pc.cast(col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                   else col, uid_pa_type(uid_bits))
 
 
 def verify_containment_edges_partitioned(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
     num_partitions: int = 128,
+    uid_bits: int = 64,
 ) -> "ray.data.Dataset":
     """Flood fallback for substring verification: texts attach to the
     candidate pairs through two partitioned joins (texts ship through
     the packed shuffle once) instead of a broadcast text index."""
 
     def to_payload(t: pa.Table) -> pa.Table:
-        return pa.table({"uid": pa.array(uid_of_urls(t["url"]), pa.int64()),
+        return pa.table({"uid": uid_arrow(uid_of_urls(t["url"], uid_bits)),
                          "value": t["text"]})
 
     blobs = texts.select_columns(["url", "text"]).map_batches(
         to_payload, batch_format="pyarrow")
-    edge_ints = {"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+    edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+                 if uid_bits == 64 else {"kind": pa.int8()})
     both = _attach_payload_partitioned(
         _attach_payload_partitioned(pairs, blobs, "u", "text_u",
                                     num_partitions, int_cols=edge_ints),
@@ -571,8 +636,8 @@ def verify_containment_edges_partitioned(
                                   batch["text_v"].to_pylist())]
         m = pa.array(keep)
         return pa.table({
-            "u": pc_cast_i64(batch["u"].filter(m)),
-            "v": pc_cast_i64(batch["v"].filter(m)),
+            "u": _uid_cast(batch["u"].filter(m), uid_bits),
+            "v": _uid_cast(batch["v"].filter(m), uid_bits),
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
@@ -619,8 +684,9 @@ def candidate_edges_fused(
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         outs: list[pd.DataFrame] = []
-        empty = pd.DataFrame({"u": pd.Series(dtype="int64"),
-                              "v": pd.Series(dtype="int64"),
+        uid_dtype = df["uid"].dtype if len(df) else "int64"
+        empty = pd.DataFrame({"u": pd.Series(dtype=uid_dtype),
+                              "v": pd.Series(dtype=uid_dtype),
                               "kind": pd.Series(dtype="int8")})
 
         # ---- kind 0: LSH bands — chain + star ----------------------------

@@ -28,12 +28,65 @@ def _key_hash(batch: pa.Table, keys: list[str], seed: int = 11) -> np.ndarray:
     acc = np.full(len(batch), np.uint64(seed), dtype=np.uint64)
     for k in keys:
         col = batch[k]
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+                or pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type)
+                or pa.types.is_fixed_size_binary(col.type)):
             h = hash64_str(col, seed=seed)
         else:
             h = mix64(np.asarray(col.cast(pa.int64())).view(np.uint64))
         acc = mix64(acc * np.uint64(0x9E3779B97F4A7C15) + h)
     return acc
+
+
+def _enable_hash_shuffle() -> None:
+    """Switch Ray Data's groupby exchange to the hash-shuffle operator.
+
+    The default sort-based exchange costs ~3 s of fixed wall per
+    shuffle on this box even when the data is tiny (sample → SortMap →
+    SortReduce barriers, measured via ds.stats()); the hash-shuffle
+    aggregators stream instead.  Results are identical — grouped_apply
+    only needs co-location of equal keys, not order.  Fractional
+    aggregator CPUs so small (4-cpu test) sessions don't deadlock the
+    streaming executor — same reasoning as the join aggregators in
+    stages/joins.py."""
+    import os
+
+    import ray
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    if os.environ.get("GRAFT_SHUFFLE", "sort") != "hash":
+        return
+    ctx = ray.data.DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    # aggregator pool sized to the LIVE session: too many actors melts
+    # a 4-cpu session (process stampede), too few (a fixed cap of 4)
+    # bottlenecks every reduce at 32 cpus
+    try:
+        cpus = (int(ray.cluster_resources().get("CPU", 32))
+                if ray.is_initialized() else 32)
+    except Exception:
+        cpus = 32
+    ctx.max_hash_shuffle_aggregators = max(4, min(cpus, 64))
+    ctx.default_hash_shuffle_parallelism = max(16, 2 * cpus)
+
+
+def _hash_partitions(num_partitions: int) -> int:
+    """Hash-shuffle partition count, capped by session size: >4×CPU
+    partitions on a small session starves the aggregator actors and
+    deadlocks the streaming executor (empirically: 64 partitions hang a
+    4-cpu session; 2×CPU streams fine at every size).  Results never
+    depend on the partition count — `__part` carries the semantic
+    grouping."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+    except Exception:
+        cpus = 32
+    return int(min(num_partitions, max(16, 2 * cpus)))
 
 
 def grouped_apply(
@@ -58,6 +111,8 @@ def grouped_apply(
     reduce side deserializes and concatenates its blobs zero-copy-ish
     before running `partition_fn` on the full partition."""
 
+    _enable_hash_shuffle()
+    hash_parts = _hash_partitions(num_partitions)
     if not packed:
         def add_part(batch: pa.Table) -> pa.Table:
             part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
@@ -69,7 +124,7 @@ def grouped_apply(
 
         return (
             ds.map_batches(add_part, batch_format="pyarrow")
-            .groupby("__part")
+            .groupby("__part", num_partitions=hash_parts)
             .map_groups(run, batch_format="pandas")
         )
 
@@ -111,12 +166,15 @@ def grouped_apply(
         # block schemas otherwise leak PandasBlockSchema into downstream
         # schema unification (BENCH_r01 tail warning)
         if isinstance(out, pd.DataFrame):
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # strip the pandas schema-metadata dict: Ray hashes schemas
+            # for dedup and a dict payload defeats it (log noise)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
         return out
 
     return (
         ds.map_batches(pack, batch_format="pyarrow")
-        .groupby("__part")
+        .groupby("__part", num_partitions=hash_parts)
         .map_groups(unpack_run, batch_format="pandas")
     )
 

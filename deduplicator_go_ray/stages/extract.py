@@ -12,17 +12,47 @@ important memory decision at 100 TB (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pyarrow as pa
 
 from ..functions.text import extract_text
 
 
 class ExtractStage:
-    """map_batches callable: (url, warc_ts, html, lang) → (+text, +error, -html)."""
+    """map_batches callable: (url, warc_ts, html, lang) → (+text, +error, -html).
 
-    def __init__(self, html_col: str = "html", prefer_existing_text: bool = False):
+    ``timeout_s`` arms a per-row wall-clock watchdog ≙ the reference's
+    60 s inactivity timeout (``files/files.go:33-71``): a row whose
+    extraction exceeds the budget gets an in-band ``TIMEOUT_ERROR``
+    sentinel and the batch moves on.  The hung worker thread is
+    abandoned and replaced (bounded leak, one thread per timeout —
+    exactly the reference's abandoned-goroutine tradeoff).  Default off:
+    the dispatch overhead (~10 µs/row) is only worth paying when inputs
+    may be pathological.  ``extract_fn`` is injectable for tests."""
+
+    def __init__(self, html_col: str = "html", prefer_existing_text: bool = False,
+                 timeout_s: float | None = None,
+                 extract_fn: Callable | None = None):
         self.html_col = html_col
         self.prefer_existing_text = prefer_existing_text
+        self.timeout_s = timeout_s
+        self.extract_fn = extract_fn or extract_text
+        self._pool = None
+
+    def _run_with_timeout(self, html) -> tuple[str, str | None]:
+        import concurrent.futures as cf
+
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(max_workers=1)
+        fut = self._pool.submit(self.extract_fn, html)
+        try:
+            return fut.result(timeout=self.timeout_s)
+        except cf.TimeoutError:
+            # abandon the hung thread; next row gets a fresh one
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            return "", "TIMEOUT_ERROR"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch[self.html_col].to_pylist()
@@ -38,7 +68,10 @@ class ExtractStage:
                 errors.append(None)
                 continue
             try:
-                t, err = extract_text(h)
+                if self.timeout_s is not None:
+                    t, err = self._run_with_timeout(h)
+                else:
+                    t, err = self.extract_fn(h)
             except Exception:
                 t, err = "", "HASH_ERROR"
             texts.append(t)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -137,45 +138,116 @@ def media_dedup_by_feature(
     threshold: float = 0.98,
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 32,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 12,
 ) -> "ray.data.Dataset":
-    """Near-dup media pairs by feature cosine: decode on an actor pool,
-    then brute-force block-vs-broadcast cosine (the embeddings ANN path
-    is the scale plan).  Returns (id_a, id_b) pairs."""
+    """Near-dup media pairs by feature cosine.  Default plan (VERDICT r1
+    #6/#9, now bucketed): decode on an actor pool, then random-hyperplane
+    LSH — each vector's sign pattern against seeded hyperplanes buckets
+    it in ``n_tables`` tables; the bucket key is the SHUFFLE key and
+    pairs are verified by exact cosine inside each bucket.  Nothing is
+    collected on the driver and no all-pairs matrix exists anywhere.
+    ``method="exact"`` keeps the small-corpus all-pairs path (used as
+    the equality baseline in tests).  At threshold τ the per-table
+    collision probability for a true pair is (1 - acos(τ)/π)^n_planes
+    (τ=0.98 → ~0.59/table, miss ≈ 2e-5 over 12 tables).
+    Returns distinct (id_a, id_b) pairs, id_a < id_b."""
     import ray
+
+    from ..functions.hashing import mix64
+    from .common import dedupe_rows, grouped_apply
 
     feats = media.map_batches(
         MediaFeatureStage, concurrency=concurrency,
         batch_size=batch_size, batch_format="pyarrow",
     ).materialize()
 
-    ids_all, mats = [], []
-    for b in feats.select_columns(["media_id", "features", "error"]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
-        keep = b.filter(pa.compute.is_null(b["error"]))
-        ids_all.extend(keep["media_id"].to_pylist())
-        if len(keep):
-            mats.append(np.asarray(keep["features"].combine_chunks().flatten())
-                        .reshape(len(keep), -1))
-    M = np.concatenate(mats) if mats else np.zeros((0, FEATURE_DIM), np.float32)
-    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ids_arr = np.array(ids_all, dtype=object)
-    ref = ray.put((ids_arr, M))
+    if method == "exact":
+        ids_all, mats = [], []
+        for b in feats.select_columns(["media_id", "features", "error"]).iter_batches(
+                batch_size=8192, batch_format="pyarrow"):
+            keep = b.filter(pa.compute.is_null(b["error"]))
+            ids_all.extend(keep["media_id"].to_pylist())
+            if len(keep):
+                mats.append(np.asarray(keep["features"].combine_chunks().flatten())
+                            .reshape(len(keep), -1))
+        M = np.concatenate(mats) if mats else np.zeros((0, FEATURE_DIM), np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids_arr = np.array(ids_all, dtype=object)
+        ref = ray.put((ids_arr, M))
 
-    def block(t: pa.Table) -> pa.Table:
-        all_ids, Mn = ray.get(ref)
-        mask = pa.compute.is_null(t["error"])
-        keep = t.filter(mask)
-        if len(keep) == 0:
-            return pa.table({"id_a": pa.array([], pa.string()),
-                             "id_b": pa.array([], pa.string())})
-        bid = np.array(keep["media_id"].to_pylist(), dtype=object)
-        B = np.asarray(keep["features"].combine_chunks().flatten()).reshape(len(keep), -1)
-        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-        S = B @ Mn.T
-        ii, jj = np.nonzero((S >= threshold) & (bid[:, None] < all_ids[None, :]))
+        def block(t: pa.Table) -> pa.Table:
+            all_ids, Mn = ray.get(ref)
+            keep = t.filter(pa.compute.is_null(t["error"]))
+            if len(keep) == 0:
+                return pa.table({"id_a": pa.array([], pa.string()),
+                                 "id_b": pa.array([], pa.string())})
+            bid = np.array(keep["media_id"].to_pylist(), dtype=object)
+            B = np.asarray(keep["features"].combine_chunks().flatten()
+                           ).reshape(len(keep), -1)
+            B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            S = B @ Mn.T
+            ii, jj = np.nonzero((S >= threshold) & (bid[:, None] < all_ids[None, :]))
+            return pa.table({
+                "id_a": pa.array(bid[ii].tolist(), pa.string()),
+                "id_b": pa.array(all_ids[jj].tolist(), pa.string()),
+            })
+
+        return feats.map_batches(block, batch_format="pyarrow")
+
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, n_planes, FEATURE_DIM))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.compute.is_null(t["error"]))
+        n = len(keep)
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "media_id": pa.array([], pa.string()),
+                             "features": pa.array([], pa.list_(pa.float32()))})
+        V = np.asarray(keep["features"].combine_chunks().flatten()
+                       ).reshape(n, -1).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sig = np.einsum("tpd,nd->tnp", planes, V) > 0       # (T, n, P)
+        bits = (sig << np.arange(n_planes)).sum(axis=2).astype(np.uint64)
+        keys = mix64(bits * np.uint64(0x9E3779B97F4A7C15)
+                     + (np.arange(n_tables, dtype=np.uint64) + np.uint64(1))[:, None]
+                     ).view(np.int64)                        # (T, n)
+        ids = keep["media_id"].to_pylist()
+        flat_feats = pa.array(
+            np.tile(V.astype(np.float32), (n_tables, 1)).tolist(),
+            pa.list_(pa.float32()))
         return pa.table({
-            "id_a": pa.array(bid[ii].tolist(), pa.string()),
-            "id_b": pa.array(all_ids[jj].tolist(), pa.string()),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+            "media_id": pa.array(ids * n_tables, pa.string()),
+            "features": flat_feats,
         })
 
-    return feats.map_batches(block, batch_format="pyarrow")
+    rows = feats.map_batches(bucket, batch_format="pyarrow")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        df = df.drop_duplicates(["bucket", "media_id"])
+        sizes = df.groupby("bucket")["media_id"].transform("size")
+        df = df[sizes > 1]
+        for _, g in df.groupby("bucket", sort=False):
+            ids = np.array(g["media_id"].tolist(), dtype=object)
+            V = np.array(g["features"].tolist(), dtype=np.float64)
+            S = V @ V.T
+            ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+            if ii.size:
+                a, b = ids[ii], ids[jj]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                frames.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series(dtype=str),
+                                 "id_b": pd.Series(dtype=str)})
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    pairs = grouped_apply(rows, ["bucket"], emit, num_partitions=32)
+    return dedupe_rows(pairs, ["id_a", "id_b"], num_partitions=16)

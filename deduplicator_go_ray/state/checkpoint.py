@@ -146,6 +146,8 @@ def incremental_hash(
     num_partitions: int = 64,
     force: bool = False,
     retry_errors: bool = False,
+    renew_older_than: float | None = None,
+    _now: float | None = None,
 ) -> pd.DataFrame:
     """Incremental extract+hash against an existing checkpoint — the
     reference's unchanged-skip / predicated re-run semantics
@@ -159,7 +161,12 @@ def incremental_hash(
     * ``retry_errors=True`` re-processes rows whose checkpoint entry
       carries an error sentinel (≙ ``--retry-problematic``);
     * ``force=True`` wipes the checkpoint and recomputes everything
-      (≙ ``--force``).
+      (≙ ``--force``);
+    * ``renew_older_than=<seconds>`` re-processes rows whose checkpoint
+      ``processed_at`` stamp is older than that TTL — the reference's
+      1-week ``last_hashed_at`` staleness predicate (``--renew``,
+      ``files/hash.go:31,236-238``); every (re)computed row is stamped.
+      ``_now`` is a test hook for the clock.
 
     Returns the metrics frame for the partitions (re)written.
     """
@@ -173,24 +180,44 @@ def incremental_hash(
     if force and os.path.isdir(hashed_dir):
         shutil.rmtree(hashed_dir)
 
+    now = _now if _now is not None else time.time()
+    cutoff = (now - renew_older_than) if renew_older_than is not None else None
+
     todo = pages
     done_urls: set[str] = set()
     if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
         existing = ray.data.read_parquet(hashed_dir)
-        cols = ["url", "error"]
+        have_stamp = "processed_at" in (existing.schema().names or [])
+        cols = ["url", "error"] + (["processed_at"] if have_stamp else [])
         for b in existing.select_columns(cols).iter_batches(
                 batch_size=65536, batch_format="pyarrow"):
+            keep = np.ones(len(b), dtype=bool)
             if retry_errors:
-                keep = b.filter(pa.compute.is_null(b["error"]))
-                done_urls.update(keep["url"].to_pylist())
-            else:
-                done_urls.update(b["url"].to_pylist())
+                keep &= np.array([e is None for e in b["error"].to_pylist()])
+            if cutoff is not None:
+                # stale rows re-enter the work set (≙ files/hash.go:31);
+                # rows from pre-TTL checkpoints (no stamp) count stale
+                if have_stamp:
+                    ts = np.asarray(
+                        pa.compute.fill_null(b["processed_at"], 0.0),
+                        dtype=np.float64)
+                    keep &= ts >= cutoff
+                else:
+                    keep &= False
+            done_urls.update(
+                np.array(b["url"].to_pylist(), dtype=object)[keep].tolist())
     if done_urls:
         todo = broadcast_semi_filter(pages, "url", done_urls, anti=True)
 
     extracted = todo.map_batches(
         lambda b: ExtractStage()(b), batch_format="pyarrow", batch_size=256)
-    hashed = add_content_key(extracted)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "processed_at", pa.array(np.full(len(t), now), pa.float64()))
+
+    hashed = add_content_key(extracted).map_batches(
+        stamp, batch_format="pyarrow")
     # merge into the checkpoint: recomputed rows land in their partition
     # files; untouched partitions keep their existing file.  A partition
     # containing BOTH old and new rows must be rewritten with the union,
@@ -205,17 +232,17 @@ def incremental_hash(
     merged = with_pid
     if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
         old = ray.data.read_parquet(hashed_dir)
+        # one rule covers retry/renew/new alike: an old row survives the
+        # rewrite of its partition iff it was counted done (skipped)
+        from ..stages.buckets import uid_of_urls
+        done_uid_sorted = (np.sort(uid_of_urls(sorted(done_urls)))
+                          if done_urls else np.empty(0, np.int64))
+        affected_arr = np.array(sorted(affected), dtype=np.int64)
 
         def keep_affected_done(t: pa.Table) -> pa.Table:
             pid = np.asarray(t["partition_id"], dtype=np.int64)
-            mask = np.isin(pid, np.array(sorted(affected), dtype=np.int64))
-            if done_urls and not retry_errors:
-                return t.filter(pa.array(mask))
-            # retry_errors: drop the old error rows being recomputed
-            keep = mask
-            if retry_errors:
-                keep = mask & np.array(
-                    [e is None for e in t["error"].to_pylist()])
+            keep = (np.isin(pid, affected_arr)
+                    & np.isin(uid_of_urls(t["url"]), done_uid_sorted))
             return t.filter(pa.array(keep))
 
         # materialize BEFORE deleting the stale files — the read is lazy
@@ -228,6 +255,91 @@ def incremental_hash(
                 os.remove(p)
     return checkpointed_write(merged, hashed_dir, num_partitions,
                               stage="incremental_hash")
+
+
+def prune_checkpoint(
+    out_dir: str,
+    pages: "ray.data.Dataset",
+    url_col: str = "url",
+) -> pd.DataFrame:
+    """Remove checkpoint rows whose url is absent from ``pages`` (the
+    current listing) — the liveness half of the reference's prune flow
+    (``files/prune.go:122,175-204``: DB rows for files that no longer
+    exist are deleted; the dup-row half is the keep-first operator).
+
+    Only partitions that actually contain dead rows are rewritten
+    (atomic tmp→rename, like every checkpoint write); untouched
+    partitions keep their file.  Returns a metrics frame with one row
+    per rewritten partition (rows_in = before, rows_out = surviving).
+    """
+    from ..stages.buckets import uid_of_urls
+    from ..stages.lsh import block_refs_of
+
+    hashed_dir = os.path.join(out_dir, "hashed")
+    if not os.path.isdir(hashed_dir) or not done_partitions(hashed_dir):
+        return pd.DataFrame()
+
+    def to_uids(t: pa.Table) -> pa.Table:
+        return pa.table({"uid": pa.array(uid_of_urls(t[url_col]), pa.int64())})
+
+    live = pages.map_batches(to_uids, batch_format="pyarrow").materialize()
+    refs = tuple(block_refs_of(live))
+
+    existing = ray.data.read_parquet(hashed_dir)
+
+    def live_sorted():
+        # per-worker cache keyed by the block refs (shared with the
+        # buckets semi-filter): built once per process, not per batch
+        import ray as _ray
+        from ..stages.buckets import _UID_CACHE
+        key = (refs, "uid_sorted")
+        hit = _UID_CACHE.get(key)
+        if hit is None:
+            tables = _ray.get(list(refs))
+            arrs = [np.asarray(t["uid"], np.int64) for t in tables if len(t)]
+            hit = (np.sort(np.concatenate(arrs)) if arrs
+                   else np.empty(0, np.int64))
+            _UID_CACHE[key] = hit
+        return hit
+
+    def flag_dead(t: pa.Table) -> pa.Table:
+        uid = uid_of_urls(t[url_col])
+        dead = ~np.isin(uid, live_sorted())
+        return pa.table({
+            "partition_id": t["partition_id"],
+            "dead": pa.array(dead, pa.bool_()),
+        })
+
+    # pass 1: which partitions contain dead rows (small driver pull)
+    flags = existing.map_batches(flag_dead, batch_format="pyarrow")
+    affected: set[int] = set()
+    for b in flags.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        pid = np.asarray(b["partition_id"], np.int64)
+        dead = np.asarray(b["dead"], bool)
+        affected.update(pid[dead].tolist())
+    if not affected:
+        return pd.DataFrame()
+
+    # pass 2: distributed rewrite of the affected partitions with the
+    # surviving rows only (materialize BEFORE deleting stale files —
+    # the read is lazy)
+    affected_arr = np.array(sorted(affected), dtype=np.int64)
+    num_partitions = max(done_partitions(hashed_dir)) + 1
+
+    def keep_affected_live(t: pa.Table) -> pa.Table:
+        pid = np.asarray(t["partition_id"], np.int64)
+        uid = uid_of_urls(t[url_col])
+        keep = np.isin(pid, affected_arr) & np.isin(uid, live_sorted())
+        return t.filter(pa.array(keep))
+
+    survivors = existing.map_batches(
+        keep_affected_live, batch_format="pyarrow").materialize()
+    for pid in affected_arr.tolist():
+        p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
+        if os.path.exists(p):
+            os.remove(p)
+    return checkpointed_write(survivors, hashed_dir, num_partitions,
+                              stage="prune", url_col=url_col)
 
 
 def run_dedup_checkpointed(

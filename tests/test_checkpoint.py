@@ -139,3 +139,64 @@ def test_incremental_hash(pages_tbl, tmp_path, ray_session):
     m5 = incremental_hash(ray.data.from_arrow(pages_tbl.slice(0, 300)), out,
                           num_partitions=P, force=True)
     assert m5["rows_in"].sum() == 300
+
+
+def test_incremental_hash_renew(pages_tbl, tmp_path, ray_session):
+    """≙ the 1-week last_hashed_at TTL (--renew, files/hash.go:31,236-238):
+    rows whose processed_at stamp is older than the TTL re-enter the
+    work set; fresh rows stay skipped."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deduplicator_go_ray.state.checkpoint import incremental_hash
+
+    out = str(tmp_path / "renew")
+    first = pages_tbl.slice(0, 120)
+
+    t0 = 1_000_000.0
+    m1 = incremental_hash(ray.data.from_arrow(first), out,
+                          num_partitions=P, _now=t0)
+    assert m1["rows_in"].sum() == 120
+
+    # within TTL: nothing recomputed
+    m2 = incremental_hash(ray.data.from_arrow(first), out, num_partitions=P,
+                          renew_older_than=3600.0, _now=t0 + 100)
+    assert len(m2) == 0 or m2["rows_in"].sum() == 0
+
+    # past TTL: everything stale → full recompute, new stamps, no dup rows
+    m3 = incremental_hash(ray.data.from_arrow(first), out, num_partitions=P,
+                          renew_older_than=3600.0, _now=t0 + 7200)
+    assert m3["rows_in"].sum() == 120
+    hashed = pq.read_table(os.path.join(out, "hashed"))
+    assert hashed.num_rows == 120
+    assert len(set(hashed["url"].to_pylist())) == 120
+    stamps = set(hashed["processed_at"].to_pylist())
+    assert stamps == {t0 + 7200}
+
+
+def test_prune_checkpoint_liveness(pages_tbl, tmp_path, ray_session):
+    """≙ the prune flow's liveness half (files/prune.go:122,175-204):
+    checkpoint rows whose url vanished from the current listing are
+    removed; only affected partitions are rewritten."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deduplicator_go_ray.state.checkpoint import (incremental_hash,
+                                                      prune_checkpoint)
+
+    out = str(tmp_path / "prune")
+    full = pages_tbl.slice(0, 150)
+    incremental_hash(ray.data.from_arrow(full), out, num_partitions=P)
+
+    # current listing: first 100 urls survive
+    live = full.slice(0, 100)
+    m = prune_checkpoint(out, ray.data.from_arrow(live))
+    assert m["rows_in"].sum() >= m["rows_out"].sum()
+
+    kept = pq.read_table(os.path.join(out, "hashed"))
+    live_urls = set(live["url"].to_pylist())
+    assert set(kept["url"].to_pylist()) == live_urls
+
+    # idempotent: a second prune with the same listing rewrites nothing
+    m2 = prune_checkpoint(out, ray.data.from_arrow(live))
+    assert len(m2) == 0

@@ -1,0 +1,50 @@
+"""Join-primitive equivalence: the keyed-shuffle semi/anti join (scale
+path) must agree with the broadcast filter (small path) — VERDICT r1
+"what's wrong" #4."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from deduplicator_go_ray.stages.joins import (broadcast_semi_filter,
+                                              keyed_membership_filter)
+
+
+@pytest.fixture()
+def data(ray_session):
+    n = 500
+    rows = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        # full-range int64 payload: catches lossy float round-trips
+        "big": pa.array((np.arange(n, dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)).view(np.int64),
+                        pa.int64()),
+        "k": pa.array(np.arange(n) % 97, pa.int64()),
+    })
+    keys = pa.table({"k": pa.array(np.arange(0, 97, 3), pa.int64())})
+    return ray.data.from_arrow(rows), ray.data.from_arrow(keys)
+
+
+def _sorted(df):
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_keyed_semi_equals_broadcast(data):
+    ds, keys_ds = data
+    keyset = {r["k"] for r in keys_ds.take_all()}
+    b = _sorted(broadcast_semi_filter(ds, "k", keyset).to_pandas())
+    s = _sorted(keyed_membership_filter(ds, "k", keys_ds).to_pandas())
+    assert b.equals(s[b.columns])
+    assert len(b) > 0
+
+
+def test_keyed_anti_equals_broadcast(data):
+    ds, keys_ds = data
+    keyset = {r["k"] for r in keys_ds.take_all()}
+    b = _sorted(broadcast_semi_filter(ds, "k", keyset, anti=True).to_pandas())
+    s = _sorted(keyed_membership_filter(ds, "k", keys_ds, anti=True).to_pandas())
+    assert b.equals(s[b.columns])
+    assert len(b) > 0
+    # int64 payloads survive bit-exact through the shuffle
+    assert s["big"].dtype == np.int64

@@ -86,3 +86,42 @@ def test_media_dedup_pairs(ray_session):
     assert expect <= got
     # no cross-payload false positives at this threshold
     assert got == expect
+
+
+def test_media_dedup_lsh_equals_exact(ray_session):
+    """The bucketed (LSH-shuffle) media dedup finds the same pairs as
+    the all-pairs exact path on the planted fixture — and never builds
+    a driver-side feature matrix."""
+    ds = ray.data.from_arrow(_media_table(40))
+    exact = (media_dedup_by_feature(ds, threshold=0.999, method="exact")
+             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    lsh = (media_dedup_by_feature(ds, threshold=0.999, method="lsh")
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert exact.equals(lsh)
+    assert len(lsh) >= 1
+
+
+def test_extract_timeout_sentinel(ray_session):
+    """≙ the 60 s hash watchdog (files/files.go:33-71): a pathological
+    row times out in-band, the batch survives, later rows still run."""
+    import time
+
+    import pyarrow as pa
+
+    from deduplicator_go_ray.stages.extract import ExtractStage
+
+    def slow_extract(html):
+        if b"HANG" in html:
+            time.sleep(5)
+        return html.decode()[:10], None
+
+    stage = ExtractStage(timeout_s=0.5, extract_fn=slow_extract)
+    batch = pa.table({
+        "url": ["a", "b", "c"],
+        "html": [b"fine-one", b"HANG-forever", b"fine-two"],
+    })
+    out = stage(batch)
+    errs = out["error"].to_pylist()
+    texts = out["text"].to_pylist()
+    assert errs == [None, "TIMEOUT_ERROR", None]
+    assert texts[0] == "fine-one"[:10] and texts[2] == "fine-two"[:10]
