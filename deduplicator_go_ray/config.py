@@ -173,6 +173,15 @@ class PipelineConfig:
     # semi-filter + broadcast plan (verify_edges_smallset / containment
     # smallset); bigger sets fall back to partitioned joins.
     smallset_max_edges: int = 2_000_000
+    # below the smallset ceiling there is a further choice: when the
+    # FULL signature matrix (n_reps × num_perms × 8 B) fits this
+    # budget, verification scores straight against the materialized
+    # signature/text tables' block refs (direct-refs plan) — skipping
+    # the semi-filter execution AND the serial driver pull of every
+    # candidate endpoint, two whole pipeline barriers.  Above it, the
+    # semi-filter keeps per-worker memory proportional to the candidate
+    # endpoint set instead of the rep set.
+    verify_direct_max_bytes: int = 512 << 20
     # reduce-partition count for the fused bucket shuffle; more
     # partitions = smaller reducers and better overlap (tuned on the
     # 200k bench corpus; scale with cluster size at real scale).

@@ -107,6 +107,10 @@ class _PhaseTimer:
         print(f"[phase] {label}: {now - self.t:.2f}s", flush=True)
         self.t = now
 
+    def note(self, label: str, value) -> None:
+        if self.on:
+            print(f"[note] {label}: {value}", flush=True)
+
 
 def run_dedup(
     pages: "ray.data.Dataset",
@@ -251,6 +255,7 @@ def run_dedup(
     from ..stages.buckets import sampled_hot_band_keys
 
     n_reps = sigs.count()
+    timer.note("n_reps", n_reps)
     hot = None
     if n_reps * cfg.minhash.bands >= cfg.presalt_min_band_rows:
         hot = sampled_hot_band_keys(sigs, cfg.minhash, cfg.lsh)
@@ -273,6 +278,7 @@ def run_dedup(
         "kind": pa.array([], pa.int8()),
     })
     n_cand = cand.count()
+    timer.note("n_cand", n_cand)
     if n_cand == 0:
         all_tagged = ray.data.from_arrow(_empty_uid_edges).materialize()
     else:
@@ -298,10 +304,19 @@ def run_dedup(
                     sub_cand, reps, num_partitions=cfg.bucket_partitions,
                     uid_bits=cfg.uid_bits))
         else:
-            edge_sets = [verify_near_edges(near_cand, sigs, cfg.minhash)]
+            # direct-refs sub-plan: with 64-bit uids and a rep-signature
+            # matrix under verify_direct_max_bytes, score against the
+            # already-materialized sigs/reps block refs — two fewer
+            # executions (no semi-filter pass, no serial endpoint pull)
+            direct = (cfg.uid_bits == 64
+                      and n_reps * cfg.minhash.num_perms * 8
+                      <= cfg.verify_direct_max_bytes)
+            edge_sets = [verify_near_edges(near_cand, sigs, cfg.minhash,
+                                           direct_refs=direct)]
             if cfg.run_substring_pass:
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
-                edge_sets.append(verify_containment_edges(sub_cand, reps))
+                edge_sets.append(verify_containment_edges(
+                    sub_cand, reps, direct_refs=direct))
         all_tagged = (edge_sets[0].union(*edge_sets[1:])
                       if len(edge_sets) > 1 else edge_sets[0]).materialize()
     timer.tick("verify+edges")
@@ -313,6 +328,7 @@ def run_dedup(
     # Dataset execution costs ~1-2 s of scheduler fixed time regardless
     # of data size, the dominant term of the N-vs-4N efficiency gap.
     n_edges = all_tagged.count()  # metadata — all_tagged is materialized
+    timer.note("n_edges", n_edges)
     mapping: dict[int, int] | None = None
     rep_clusters = None
     if n_edges <= cfg.driver_dsu_max_edges:
@@ -355,6 +371,7 @@ def run_dedup(
         return t.append_column(
             "rep_uid", uid_arrow(uid_of_urls(t["rep_url"], cfg.uid_bits)))
 
+    timer.tick("components")
     members_u = members.map_batches(add_rep_uid, batch_format="pyarrow")
 
     if n_comp == 0:

@@ -330,21 +330,99 @@ def _uid_index(refs: tuple, columns: tuple[str, ...]):
     return out
 
 
+def _direct_index(refs: tuple, columns: tuple[str, ...]):
+    """Per-worker sorted-uid lookup built straight from a materialized
+    url-keyed table's block refs: (uid_sorted, [payload col in that
+    order, ...]).  np.searchsorted probes need NO hash-table build, so
+    the per-worker setup is one hash pass over the urls plus an argsort
+    — cheap enough to skip the semi-filter execution entirely (the
+    direct-refs verify plan; run_dedup switches on projected index
+    size)."""
+    import ray as _ray
+
+    key = (refs, columns, "direct")
+    hit = _UID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tables = _ray.get(list(refs))
+    usable = [t for t in tables
+              if len(t) and all(c in t.column_names for c in ("url",) + columns)]
+    if usable:
+        tbl = pa.concat_tables([t.select(["url", *columns]) for t in usable])
+        uid = uid_of_urls(tbl["url"])
+        order = np.argsort(uid, kind="stable")
+        # payload stays in block order (concat is zero-copy; a .take
+        # would copy e.g. the whole text column per worker) — probes
+        # map sorted positions back through ``order``
+        payload = [tbl[c] for c in columns]
+        hit = (uid[order], order, payload)
+    else:
+        hit = (np.empty(0, np.int64), np.empty(0, np.int64),
+               [pa.chunked_array([], pa.null()) for _ in columns])
+    _UID_CACHE[key] = hit
+    return hit
+
+
+def _searchsorted_indexer(uid_sorted: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Positions of q in sorted uid array; -1 where absent."""
+    if not len(uid_sorted):
+        return np.full(len(q), -1, dtype=np.int64)
+    pos = np.searchsorted(uid_sorted, q)
+    pos = np.minimum(pos, len(uid_sorted) - 1)
+    return np.where(uid_sorted[pos] == q, pos, -1)
+
+
 def verify_near_edges(
     edges: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
     cfg: MinHashConfig,
+    direct_refs: bool = False,
 ) -> "ray.data.Dataset":
     """Signature-Jaccard verification of uid edges via the semi-filter +
     broadcast plan (see lsh.verify_edges_smallset for the rationale;
-    identical semantics, integer keys)."""
+    identical semantics, integer keys).
+
+    ``direct_refs=True`` (only valid for 64-bit uids) scores against the
+    already-materialized ``sigs`` table's own block refs: it skips both
+    the serial driver pull of every candidate endpoint
+    (``_edge_uid_set``) and the semi-filter execution — two whole
+    barriers — at the cost of each worker holding the full
+    n_reps×num_perms signature matrix, so run_dedup only picks it when
+    that matrix fits ``cfg.verify_direct_max_bytes``."""
     from .lsh import block_refs_of
 
     P = cfg.num_perms
+    thr = cfg.verify_threshold
+    if direct_refs:
+        refs = tuple(block_refs_of(sigs))
+
+        def score_direct(batch: pa.Table) -> pa.Table:
+            uid_s, order, (mh,) = _direct_index(refs, ("minhash",))
+            mkey = (refs, "mat_direct")
+            m = _UID_CACHE.get(mkey)
+            if m is None:
+                m = (np.asarray(mh.combine_chunks().flatten()
+                                ).reshape(len(uid_s), P)
+                     if len(uid_s) else np.empty((0, P), np.uint64))
+                _UID_CACHE[mkey] = m
+            iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
+            iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
+            ok = (iu >= 0) & (iv >= 0)
+            est = np.zeros(len(batch))
+            if ok.any():
+                est[ok] = (m[order[iu[ok]]] == m[order[iv[ok]]]).mean(axis=1)
+            keep = est >= thr
+            return pa.table({
+                "u": batch["u"].filter(pa.array(keep)),
+                "v": batch["v"].filter(pa.array(keep)),
+                "kind": batch["kind"].filter(pa.array(keep)),
+            })
+
+        return edges.map_batches(score_direct, batch_format="pyarrow")
+
     uid_sorted = _edge_uid_set(edges)
     skinny = _semi_filter_by_uid(sigs, uid_sorted, ["minhash"]).materialize()
     refs = tuple(block_refs_of(skinny))
-    thr = cfg.verify_threshold
 
     def score(batch: pa.Table) -> pa.Table:
         idx, (mh,) = _uid_index(refs, ("minhash",))
@@ -374,10 +452,36 @@ def verify_near_edges(
 def verify_containment_edges(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
+    direct_refs: bool = False,
 ) -> "ray.data.Dataset":
     """Exact-substring verification of uid (short, long) candidate pairs
-    via the same semi-filter + broadcast plan."""
+    via the same semi-filter + broadcast plan (or, with
+    ``direct_refs=True``, straight against the materialized texts
+    table's block refs — zero-copy shared memory per node, no
+    semi-filter execution)."""
     from .lsh import block_refs_of
+
+    if direct_refs:
+        refs = tuple(block_refs_of(texts))
+
+        def check_direct(batch: pa.Table) -> pa.Table:
+            uid_s, order, (txt,) = _direct_index(refs, ("text",))
+            iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
+            iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
+            keep = []
+            for a, b in zip(iu, iv):
+                if a < 0 or b < 0:
+                    keep.append(False)
+                    continue
+                ta = txt[int(order[a])].as_py()
+                tb = txt[int(order[b])].as_py()
+                keep.append(bool(ta) and bool(tb) and (ta in tb))
+            m = pa.array(keep)
+            return pa.table({"u": batch["u"].filter(m),
+                             "v": batch["v"].filter(m),
+                             "kind": batch["kind"].filter(m)})
+
+        return pairs.map_batches(check_direct, batch_format="pyarrow")
 
     uid_sorted = _edge_uid_set(pairs)
     skinny = _semi_filter_by_uid(texts, uid_sorted, ["text"]).materialize()

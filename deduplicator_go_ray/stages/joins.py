@@ -215,7 +215,36 @@ def broadcast_lookup(
     out_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """Broadcast dim join: add `out_col` = mapping[key] per row
-    (≙ hosts-dim enrich, files/group_dedup.go:99-101)."""
+    (≙ hosts-dim enrich, files/group_dedup.go:99-101).
+
+    Integer-keyed integer-valued maps ship as two sorted numpy arrays
+    and probe via np.searchsorted — no per-row Python, no dict
+    deserialization per worker; everything else falls back to the
+    plain dict plan."""
+    import numpy as np
+
+    int_fast = (default is None and len(mapping)
+                and all(isinstance(k, (int, np.integer)) for k in mapping)
+                and all(isinstance(v, (int, np.integer))
+                        for v in mapping.values()))
+    if int_fast:
+        ks = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        vs = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        order = np.argsort(ks, kind="stable")
+        ref = ray.put((ks[order], vs[order]))
+
+        def f_int(batch: pa.Table) -> pa.Table:
+            ks_s, vs_s = ray.get(ref)
+            q = np.asarray(batch[key], dtype=np.int64)
+            pos = np.minimum(np.searchsorted(ks_s, q), len(ks_s) - 1)
+            hitm = ks_s[pos] == q
+            vals = vs_s[pos]
+            typ = out_type if out_type is not None else pa.int64()
+            arr = pa.array(vals, typ, mask=~hitm)
+            return batch.append_column(out_col, arr)
+
+        return ds.map_batches(f_int, batch_format="pyarrow")
+
     ref = ray.put(dict(mapping))
 
     def f(batch: pa.Table) -> pa.Table:
