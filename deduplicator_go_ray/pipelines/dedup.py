@@ -431,7 +431,33 @@ def run_dedup(
     final_members = enriched.map_batches(finalize, batch_format="pyarrow")
 
     # ---- keeper resolution per cluster (shuffle on canonical uid) ----------
+    # Singleton clusters (match_kind == "unique": exact_size == 1 and no
+    # near/substring membership) have a policy-independent resolution —
+    # keeper = self, action = keep — so they NEVER enter the keeper
+    # shuffle.  Only the dup fraction of the corpus (typically a small
+    # minority at web scale) pays the canonical-uid exchange; the
+    # majority streams map-only from extract to sink.
     policy = cfg.keeper
+
+    dup_members = final_members.map_batches(
+        lambda t: t.filter(pc.not_equal(t["match_kind"], "unique")),
+        batch_format="pyarrow")
+    uniq_members = final_members.map_batches(
+        lambda t: t.filter(pc.equal(t["match_kind"], "unique")),
+        batch_format="pyarrow")
+
+    def resolve_unique(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.table({
+            "url": batch["url"],
+            "cluster_id": pa.array([_cluster_id_of(u) for u in urls],
+                                   pa.string()),
+            "keeper_url": batch["url"],
+            "is_keeper": pa.array(np.ones(len(urls), bool), pa.bool_()),
+            "action": pa.array(["keep"] * len(urls), pa.string()),
+            "match_kind": batch["match_kind"],
+            "n_bytes": batch["n_bytes"].cast(pa.int64()),
+        })
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["canonical", "url"], kind="mergesort")
@@ -463,8 +489,9 @@ def run_dedup(
             "n_bytes": df["n_bytes"].astype("int64"),
         })
 
-    assignments = grouped_apply(final_members, ["canonical"], resolve,
-                                num_partitions=cfg.bucket_partitions)
+    assignments = grouped_apply(dup_members, ["canonical"], resolve,
+                                num_partitions=cfg.bucket_partitions).union(
+        uniq_members.map_batches(resolve_unique, batch_format="pyarrow"))
 
     # ---- error rows + too-small rows pass through as self-clusters ---------
     def selfcluster(kind: str):
