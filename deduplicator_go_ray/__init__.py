@@ -36,6 +36,16 @@ def _configure_data_context() -> None:
 
     Must run before any Dataset is created: datasets snapshot the
     context at creation.
+
+    OPT-IN (GRAFT_SHUFFLE=hash), default stays sort: Ray 2.49's
+    hash-shuffle executor deadlocks on DAGs holding ≥3 hash-shuffle
+    operators plus a union (reproduced in isolation — three chained
+    grouped_applys whose middle output also feeds a union never
+    finish), and its per-execution aggregator actor spin-up costs more
+    than the sort exchange saves on small inputs.  The engine's hot
+    paths break such DAGs with cheap materialize barriers, and the
+    flagship is verified byte-identical under both strategies, but the
+    sort exchange remains the safe default.
     """
     import os
     if os.environ.get("GRAFT_SHUFFLE", "sort") != "hash":

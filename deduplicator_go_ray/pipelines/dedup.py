@@ -294,15 +294,21 @@ def run_dedup(
         if flood:
             from ..stages.buckets import (verify_containment_edges_partitioned,
                                           verify_near_edges_partitioned)
+            # each partitioned verify is a 2-shuffle chain off the same
+            # materialized cand; materialize each BEFORE the union — one
+            # DAG holding ≥3 hash-shuffle operators plus a union
+            # deadlocks Ray's streaming executor under
+            # GRAFT_SHUFFLE=hash (reproduced in isolation), and the edge
+            # sets are skinny uid pairs, so the barrier is cheap
             edge_sets = [verify_near_edges_partitioned(
                 near_cand, sigs, cfg.minhash,
                 num_partitions=cfg.bucket_partitions,
-                uid_bits=cfg.uid_bits)]
+                uid_bits=cfg.uid_bits).materialize()]
             if cfg.run_substring_pass:
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
                 edge_sets.append(verify_containment_edges_partitioned(
                     sub_cand, reps, num_partitions=cfg.bucket_partitions,
-                    uid_bits=cfg.uid_bits))
+                    uid_bits=cfg.uid_bits).materialize())
         else:
             # direct-refs sub-plan: with 64-bit uids and a rep-signature
             # matrix under verify_direct_max_bytes, score against the

@@ -156,9 +156,10 @@ def grouped_apply(
         import io
 
         tables = [ipc.open_stream(io.BytesIO(b)).read_all()
-                  for b in df["__blob"]]
+                  for b in df["__blob"] if len(b)]
         if not tables:
-            return partition_fn(pd.DataFrame())
+            # sentinel-only group (or fully-empty exchange): no data rows
+            return pd.DataFrame()
         # unioned inputs may disagree on column ORDER — unify by name
         full = pa.concat_tables(tables, promote_options="default")
         out = partition_fn(full.to_pandas())
@@ -172,8 +173,20 @@ def grouped_apply(
                 out, preserve_index=False).replace_schema_metadata(None)
         return out
 
+    # sentinel row: Ray Data never calls a map UDF on a zero-row block,
+    # so a fully-filtered input would reach the groupby as blocks
+    # WITHOUT the packed (__part, __blob) schema — the sort exchange
+    # shrugs, the hash-shuffle aggregators crash on the missing key
+    # column.  One guaranteed well-schema'd row (part -1, empty blob —
+    # real parts are ≥ 0, empty blobs are skipped in unpack_run) keeps
+    # the exchange schema-stable in both shuffle modes.
+    sentinel = ray.data.from_arrow(pa.table({
+        "__part": pa.array([-1], pa.int64()),
+        "__blob": pa.array([b""], pa.large_binary()),
+    }))
     return (
         ds.map_batches(pack, batch_format="pyarrow")
+        .union(sentinel)
         .groupby("__part", num_partitions=hash_parts)
         .map_groups(unpack_run, batch_format="pandas")
     )
