@@ -156,8 +156,8 @@ def incremental_hash(
     ``files/hash.go:18-35``):
 
     * rows whose url already has a non-error checkpoint entry are
-      SKIPPED (anti-join against the checkpoint's url set — broadcast,
-      no shuffle);
+      SKIPPED (anti-join against the checkpoint's done set, shipped as
+      a sorted int64 uid array — broadcast, no shuffle, 8 B/row);
     * ``retry_errors=True`` re-processes rows whose checkpoint entry
       carries an error sentinel (≙ ``--retry-problematic``);
     * ``force=True`` wipes the checkpoint and recomputes everything
@@ -172,9 +172,9 @@ def incremental_hash(
     """
     import shutil
 
+    from ..stages.buckets import uid_of_urls
     from ..stages.exact import add_content_key
     from ..stages.extract import ExtractStage
-    from ..stages.joins import broadcast_semi_filter
 
     hashed_dir = os.path.join(out_dir, "hashed")
     if force and os.path.isdir(hashed_dir):
@@ -184,11 +184,17 @@ def incremental_hash(
     cutoff = (now - renew_older_than) if renew_older_than is not None else None
 
     todo = pages
-    done_urls: set[str] = set()
+    # done set accumulates as sorted int64 uids, not url strings — 8 B
+    # per done row on the driver and a vectorized searchsorted probe in
+    # the anti-filter, instead of a Python string set (same thrift as
+    # the rep-uid broadcast; uid-collision bound documented at
+    # buckets.uid_of_urls)
+    done_uid_sorted = np.empty(0, np.int64)
     if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
         existing = ray.data.read_parquet(hashed_dir)
         have_stamp = "processed_at" in (existing.schema().names or [])
         cols = ["url", "error"] + (["processed_at"] if have_stamp else [])
+        uid_chunks = []
         for b in existing.select_columns(cols).iter_batches(
                 batch_size=65536, batch_format="pyarrow"):
             keep = np.ones(len(b), dtype=bool)
@@ -204,10 +210,20 @@ def incremental_hash(
                     keep &= ts >= cutoff
                 else:
                     keep &= False
-            done_urls.update(
-                np.array(b["url"].to_pylist(), dtype=object)[keep].tolist())
-    if done_urls:
-        todo = broadcast_semi_filter(pages, "url", done_urls, anti=True)
+            if keep.any():
+                uid_chunks.append(uid_of_urls(b["url"])[keep])
+        if uid_chunks:
+            done_uid_sorted = np.unique(np.concatenate(uid_chunks))
+    if done_uid_sorted.size:
+        done_ref = ray.put(done_uid_sorted)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            arr = ray.get(done_ref)
+            u = uid_of_urls(t["url"])
+            pos = np.minimum(np.searchsorted(arr, u), arr.size - 1)
+            return t.filter(pa.array(arr[pos] != u))
+
+        todo = pages.map_batches(drop_done, batch_format="pyarrow")
 
     extracted = todo.map_batches(
         lambda b: ExtractStage()(b), batch_format="pyarrow", batch_size=256)
@@ -233,10 +249,8 @@ def incremental_hash(
     if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
         old = ray.data.read_parquet(hashed_dir)
         # one rule covers retry/renew/new alike: an old row survives the
-        # rewrite of its partition iff it was counted done (skipped)
-        from ..stages.buckets import uid_of_urls
-        done_uid_sorted = (np.sort(uid_of_urls(sorted(done_urls)))
-                          if done_urls else np.empty(0, np.int64))
+        # rewrite of its partition iff it was counted done (skipped);
+        # done_uid_sorted from the scan above is exactly that set
         affected_arr = np.array(sorted(affected), dtype=np.int64)
 
         def keep_affected_done(t: pa.Table) -> pa.Table:
