@@ -96,6 +96,14 @@ def test_embedding_pairs_symmetric_ordering(registry):
     assert (pairs["id_a"] < pairs["id_b"]).all()
 
 
+def test_embedding_pairs_lsh_equals_exact(registry):
+    # the bucketed (shuffle-keyed) plan recovers the exact all-pairs
+    # result at the fixture threshold — same frame, same ordering
+    exact = registry["embedding_dup_pairs"](SF_DIR)
+    lsh = registry["embedding_dup_pairs_lsh"](SF_DIR)
+    assert exact.equals(lsh), (len(exact), len(lsh))
+
+
 def test_ann_lsh_recall(registry):
     exact = registry["ann_topk"](SF_DIR)
     approx = registry["ann_lsh_topk"](SF_DIR)
