@@ -496,7 +496,8 @@ def run_dedup(
         })
 
     assignments = grouped_apply(dup_members, ["canonical"], resolve,
-                                num_partitions=cfg.bucket_partitions).union(
+                                num_partitions=cfg.bucket_partitions,
+                                empty_result=_EMPTY_ASSIGN).union(
         uniq_members.map_batches(resolve_unique, batch_format="pyarrow"))
 
     # ---- error rows + too-small rows pass through as self-clusters ---------

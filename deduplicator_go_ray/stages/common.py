@@ -95,6 +95,7 @@ def grouped_apply(
     partition_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 64,
     packed: bool = True,
+    empty_result: pa.Table | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partition `ds` on `keys`, then run `partition_fn` once per
     partition over a pandas frame containing only complete key-groups.
@@ -109,7 +110,13 @@ def grouped_apply(
     orders ~(blocks × partitions) blob rows instead of every data row —
     the global sort was the dominant cost of wide grouped stages.  The
     reduce side deserializes and concatenates its blobs zero-copy-ish
-    before running `partition_fn` on the full partition."""
+    before running `partition_fn` on the full partition.
+
+    ``empty_result``: a ZERO-ROW Arrow table with `partition_fn`'s
+    output schema.  When given, a sentinel row rides the exchange so
+    the result carries that schema even when `ds` is fully empty —
+    otherwise Ray emits schema-less empty bundles that leak
+    "different schema" warnings into downstream unions."""
 
     _enable_hash_shuffle()
     hash_parts = _hash_partitions(num_partitions)
@@ -159,7 +166,7 @@ def grouped_apply(
                   for b in df["__blob"] if len(b)]
         if not tables:
             # sentinel-only group (or fully-empty exchange): no data rows
-            return pd.DataFrame()
+            return empty_result if empty_result is not None else pd.DataFrame()
         # unioned inputs may disagree on column ORDER — unify by name
         full = pa.concat_tables(tables, promote_options="default")
         out = partition_fn(full.to_pandas())
@@ -176,17 +183,27 @@ def grouped_apply(
     # sentinel row: Ray Data never calls a map UDF on a zero-row block,
     # so a fully-filtered input would reach the groupby as blocks
     # WITHOUT the packed (__part, __blob) schema — the sort exchange
-    # shrugs, the hash-shuffle aggregators crash on the missing key
-    # column.  One guaranteed well-schema'd row (part -1, empty blob —
-    # real parts are ≥ 0, empty blobs are skipped in unpack_run) keeps
-    # the exchange schema-stable in both shuffle modes.
-    sentinel = ray.data.from_arrow(pa.table({
-        "__part": pa.array([-1], pa.int64()),
-        "__blob": pa.array([b""], pa.large_binary()),
-    }))
+    # shrugs, but the hash-shuffle aggregators crash on the missing key
+    # column, and a fully-empty exchange yields schema-less bundles that
+    # leak "different schema" warnings into downstream unions.  One
+    # guaranteed well-schema'd row (part -1, empty blob — real parts
+    # are ≥ 0, empty blobs are skipped in unpack_run) keeps the exchange
+    # schema-stable; with `empty_result` its group also pins the OUTPUT
+    # schema.  In sort mode without `empty_result` the sentinel is
+    # omitted — its group would itself emit a schema-less block
+    # (`PandasBlockSchema(names=[])`, VERDICT r1 §wrong #7).
+    import os
+
+    packed_ds = ds.map_batches(pack, batch_format="pyarrow")
+    if (empty_result is not None
+            or os.environ.get("GRAFT_SHUFFLE", "sort") == "hash"):
+        sentinel = ray.data.from_arrow(pa.table({
+            "__part": pa.array([-1], pa.int64()),
+            "__blob": pa.array([b""], pa.large_binary()),
+        }))
+        packed_ds = packed_ds.union(sentinel)
     return (
-        ds.map_batches(pack, batch_format="pyarrow")
-        .union(sentinel)
+        packed_ds
         .groupby("__part", num_partitions=hash_parts)
         .map_groups(unpack_run, batch_format="pandas")
     )
