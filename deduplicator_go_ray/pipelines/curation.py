@@ -1,0 +1,301 @@
+"""Corpus-curation queries: repetition signals, deterministic dataset
+splits, stratified sampling, and per-source rollups.
+
+These extend the engine toward the curation steps of a large-scale
+training-data pipeline (task brief):
+
+* ``repetition_stats`` — the Gopher-style per-document repetition
+  signals (duplicate-line fraction, duplicate-word fraction, top-2-gram
+  coverage; Rae et al. 2021, "Scaling Language Models", appendix A1.1)
+  as integer permille so the DuckDB value hash matches bit-for-bit.
+* ``train_val_split`` — coordination-free hash-based split assignment:
+  the split of a document is a pure function of its id, so any worker
+  on any cluster computes the same assignment (≙ the reference's
+  deterministic keeper rule, files/move.go:226-236, applied to
+  sampling).  Keyed on DuckDB's ``md5_number_lower`` (= little-endian
+  u64 of md5 digest bytes 8..16) so the oracle shares the exact hash.
+* ``stratified_sample`` — per-stratum deterministic rate sampling with
+  map-side combined counts (no row leaves the worker; only per-source
+  partial counts shuffle).
+* ``source_stats`` — per-source rollup via the map-side-combine
+  pattern: each batch emits one partial row per source it saw, the
+  grouped reduce sums partials — the groupby exchange moves O(sources ×
+  blocks) skinny rows, never documents.
+
+All kernels are pandas/numpy-vectorized over the batch (no per-row
+Python in the repetition kernel — splitting, exploding, n-gram
+counting all run in pandas C paths).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..stages.common import grouped_apply
+from .registry import register
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher A1.1 shape): integer permille end-to-end
+# --------------------------------------------------------------------------
+
+def _repetition_frame(ids: np.ndarray, texts: list[str]) -> pd.DataFrame:
+    """Vectorized repetition stats for one batch.
+
+    dup_line_permille  = 1000·(n_lines − n_distinct_lines) // max(n_lines, 1)
+    dup_word_permille  = 1000·(n_words − n_distinct_words) // max(n_words, 1)
+    top_2gram_permille = 1000·count(most frequent word 2-gram) // max(n_grams, 1)
+
+    Lines split on "\\n", words on single spaces; empty fragments are
+    dropped (matching DuckDB ``list_filter(string_split(..), x <> '')``).
+    """
+    s = pd.Series(texts, dtype=object)
+    n = len(s)
+    out = pd.DataFrame({
+        "doc_id": ids,
+        "dup_line_permille": np.zeros(n, np.int64),
+        "dup_word_permille": np.zeros(n, np.int64),
+        "top_2gram_permille": np.zeros(n, np.int64),
+    })
+
+    def dup_permille(col: pd.Series) -> np.ndarray:
+        ex = col.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        if ex.empty:
+            return np.zeros(n, np.int64)
+        grp = ex.groupby(level=0)
+        total = grp.size()
+        distinct = grp.nunique()
+        res = (1000 * (total - distinct) // total).astype(np.int64)
+        return res.reindex(range(n), fill_value=0).to_numpy()
+
+    out["dup_line_permille"] = dup_permille(s.str.split("\n"))
+    words = s.str.split(" ")
+    out["dup_word_permille"] = dup_permille(words)
+
+    # top 2-gram coverage: explode words keeping batch-row index, pair
+    # each word with its successor within the same row, count pairs per
+    # row, take the max count over grams / the gram total.
+    ex = words.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    if not ex.empty:
+        df = pd.DataFrame({"row": ex.index.to_numpy(), "w": ex.to_numpy()})
+        nxt_row = np.roll(df["row"].to_numpy(), -1)
+        nxt_w = np.roll(df["w"].to_numpy(), -1)
+        keep = nxt_row == df["row"].to_numpy()
+        keep[-1] = False
+        grams = df.loc[keep]
+        if len(grams):
+            g = pd.DataFrame({
+                "row": grams["row"].to_numpy(),
+                "gram": grams["w"].to_numpy() + " " + nxt_w[keep],
+            })
+            cnt = g.groupby(["row", "gram"], sort=False).size()
+            per_row = cnt.groupby(level=0)
+            top = per_row.max()
+            tot = per_row.sum()
+            res = (1000 * top // tot).astype(np.int64)
+            out["top_2gram_permille"] = res.reindex(
+                range(n), fill_value=0).to_numpy()
+    return out
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        frame = _repetition_frame(
+            np.asarray(t["doc_id"], np.int64), t["text"].to_pylist())
+        return pa.Table.from_pandas(frame, preserve_index=False)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "repetition_stats",
+    repetition_stats,
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(ws) - 1),
+                                   i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+      FROM w WHERE len(ws) >= 2),
+    gcnt AS (SELECT doc_id, gram, count(*) AS cnt
+             FROM grams GROUP BY doc_id, gram),
+    gmax AS (SELECT doc_id, max(cnt) AS top_gram, sum(cnt) AS n_grams
+             FROM gcnt GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(1000 * (len(lines) - len(list_distinct(lines)))
+                // GREATEST(len(lines), 1) AS BIGINT) AS dup_line_permille,
+           CAST(1000 * (len(ws) - len(list_distinct(ws)))
+                // GREATEST(len(ws), 1) AS BIGINT) AS dup_word_permille,
+           CAST(1000 * COALESCE(gmax.top_gram, 0)
+                // GREATEST(COALESCE(gmax.n_grams, 0), 1) AS BIGINT)
+               AS top_2gram_permille
+    FROM w LEFT JOIN gmax ON w.doc_id = gmax.doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# deterministic hash split + stratified sampling
+# --------------------------------------------------------------------------
+
+def _md5_lower64(keys: list[str]) -> np.ndarray:
+    """DuckDB ``md5_number_lower``: little-endian u64 of digest[8:16].
+
+    Per-key hashlib loop — chosen over the engine's vectorized
+    ``hash64_str`` because the ORACLE must compute the identical value
+    in SQL; md5 is the one keyed hash both sides share.  At 100 TB the
+    split key would be the already-computed int64 uid instead.
+    """
+    return np.array(
+        [int.from_bytes(hashlib.md5(k.encode()).digest()[8:16], "little")
+         for k in keys],
+        dtype=np.uint64,
+    )
+
+
+_VAL_MOD = 20      # 1/20 of docs → validation
+
+
+def train_val_split(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        h = _md5_lower64([str(i) for i in ids.tolist()])
+        split = np.where(h % _VAL_MOD == 0, "val", "train")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "train_val_split",
+    train_val_split,
+    f"""
+    SELECT doc_id,
+           CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR))
+                     % {_VAL_MOD} = 0
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+
+
+_SAMPLE_MOD = 10   # keep 1/10 per stratum
+
+
+def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic per-source rate sample, reported as per-stratum
+    counts via map-side combine: the filter + partial count happen in
+    the map stage; only (source, partial n) rows reach the exchange."""
+    docs = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], np.int64)
+        h = _md5_lower64([str(i) for i in ids.tolist()])
+        kept = h % _SAMPLE_MOD == 0
+        src = np.asarray(t["source"].to_pylist(), dtype=object)[kept]
+        if src.size == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vals, cnts = np.unique(src, return_counts=True)
+        return pa.table({"source": pa.array(vals.tolist(), pa.string()),
+                         "n": pa.array(cnts, pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False)["n"].sum().reset_index()
+        return pd.DataFrame({"source": g["source"],
+                             "n_sampled": g["n"].astype("int64")})
+
+    return grouped_apply(partials, ["source"], reduce, num_partitions=8)
+
+
+register(
+    "stratified_sample",
+    stratified_sample,
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % {_SAMPLE_MOD} = 0
+    GROUP BY source
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# per-source rollup (map-side combine)
+# --------------------------------------------------------------------------
+
+def source_stats(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "n_chars": np.asarray(t["n_chars"], np.int64),
+            "is_en": np.asarray(
+                [x == "en" for x in t["lang"].to_pylist()], np.int64),
+        })
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_chars", "size"),
+            total_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"),
+            n_en=("is_en", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", "sum"),
+            max_chars=("max_chars", "max"),
+            n_en=("n_en", "sum"),
+        ).reset_index()
+        for c in ("n_docs", "total_chars", "max_chars", "n_en"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return grouped_apply(partials, ["source"], reduce, num_partitions=8)
+
+
+register(
+    "source_stats",
+    source_stats,
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+    FROM documents
+    GROUP BY source
+    """,
+)

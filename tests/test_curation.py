@@ -1,0 +1,84 @@
+"""Curation-query tests: repetition kernel edge cases, split determinism
+and stratified-sample consistency (sf0.001 inputs).
+
+The four queries are SQL-oracled (tools/check_oracle.py / the driver's
+DuckDB comparison); these tests pin the kernel semantics the oracle
+hash alone doesn't explain — known-answer repetition values, the
+md5-split partition law, and batch-size invariance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries()
+
+
+def test_repetition_kernel_known_answers():
+    from deduplicator_go_ray.pipelines.curation import _repetition_frame
+
+    texts = [
+        "a b c d",              # all distinct: 0/0, top gram 1 of 3
+        "a a a a",              # 3 dup words of 4; top gram "a a" = 3/3
+        "x\nx\ny",              # 1 dup line of 3; one "word", no grams
+        "",                     # empty: all zeros
+        "solo",                 # single word, no grams
+    ]
+    out = _repetition_frame(np.arange(5, dtype=np.int64), texts)
+    assert out["dup_word_permille"].tolist() == [0, 750, 0, 0, 0]
+    assert out["dup_line_permille"].tolist() == [0, 0, 333, 0, 0]
+    assert out["top_2gram_permille"].tolist() == [333, 1000, 0, 0, 0]
+
+
+def test_repetition_batchsize_invariant():
+    from deduplicator_go_ray.pipelines.curation import _repetition_frame
+
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c", "dd"], size=rng.integers(0, 30)))
+        for _ in range(64)
+    ]
+    ids = np.arange(64, dtype=np.int64)
+    whole = _repetition_frame(ids, texts)
+    parts = pd.concat(
+        [_repetition_frame(ids[i:i + 7], texts[i:i + 7])
+         for i in range(0, 64, 7)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)
+
+
+def test_split_is_pure_function_of_id(registry):
+    a = registry["train_val_split"](SF_DIR).to_pandas()
+    b = registry["train_val_split"](SF_DIR).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["split"]) <= {"train", "val"}
+    # the split must partition the corpus (every doc exactly once)
+    assert a["doc_id"].is_unique and len(a) == 500
+
+
+def test_stratified_sample_counts_bounded_by_source_totals(registry):
+    sample = registry["stratified_sample"](SF_DIR).to_pandas()
+    totals = registry["source_stats"](SF_DIR).to_pandas()
+    merged = sample.merge(totals, on="source", how="left")
+    assert (merged["n_sampled"] <= merged["n_docs"]).all()
+    # ~1/10 rate overall, generous tolerance at 500 docs
+    assert 0.03 <= merged["n_sampled"].sum() / merged["n_docs"].sum() <= 0.25
+
+
+def test_source_stats_totals_match_corpus(registry):
+    stats = registry["source_stats"](SF_DIR).to_pandas()
+    assert stats["n_docs"].sum() == 500
+    assert (stats["n_en"] <= stats["n_docs"]).all()
+    assert (stats["max_chars"] * stats["n_docs"] >= stats["total_chars"]).all()
