@@ -434,7 +434,13 @@ def run_dedup(
         return out.append_column("match_kind",
                                  pa.array(kinds.tolist(), pa.string()))
 
-    final_members = enriched.map_batches(finalize, batch_format="pyarrow")
+    # materialize ONCE: the dup/uniq branches below both consume this
+    # dataset — left lazy, the whole members→enrich→finalize map chain
+    # re-executes per branch (2× the corpus-wide maps; the r1 profile's
+    # post-components tail scaled at 0.36 mostly because of this).  The
+    # table is skinny (no text column on either rep-text plan).
+    final_members = enriched.map_batches(
+        finalize, batch_format="pyarrow").materialize()
 
     # ---- keeper resolution per cluster (shuffle on canonical uid) ----------
     # Singleton clusters (match_kind == "unique": exact_size == 1 and no

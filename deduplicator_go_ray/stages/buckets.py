@@ -330,36 +330,56 @@ def _uid_index(refs: tuple, columns: tuple[str, ...]):
     return out
 
 
-def _direct_index(refs: tuple, columns: tuple[str, ...]):
-    """Per-worker sorted-uid lookup built straight from a materialized
-    url-keyed table's block refs: (uid_sorted, [payload col in that
-    order, ...]).  np.searchsorted probes need NO hash-table build, so
-    the per-worker setup is one hash pass over the urls plus an argsort
-    — cheap enough to skip the semi-filter execution entirely (the
-    direct-refs verify plan; run_dedup switches on projected index
-    size)."""
+def _gather_url_payload(refs: tuple, columns: tuple[str, ...]):
     import ray as _ray
 
-    key = (refs, columns, "direct")
-    hit = _UID_CACHE.get(key)
-    if hit is not None:
-        return hit
     tables = _ray.get(list(refs))
     usable = [t for t in tables
               if len(t) and all(c in t.column_names for c in ("url",) + columns)]
-    if usable:
-        tbl = pa.concat_tables([t.select(["url", *columns]) for t in usable])
-        uid = uid_of_urls(tbl["url"])
-        order = np.argsort(uid, kind="stable")
-        # payload stays in block order (concat is zero-copy; a .take
-        # would copy e.g. the whole text column per worker) — probes
-        # map sorted positions back through ``order``
-        payload = [tbl[c] for c in columns]
-        hit = (uid[order], order, payload)
-    else:
-        hit = (np.empty(0, np.int64), np.empty(0, np.int64),
-               [pa.chunked_array([], pa.null()) for _ in columns])
-    _UID_CACHE[key] = hit
+    if not usable:
+        return None
+    return pa.concat_tables([t.select(["url", *columns]) for t in usable])
+
+
+def _build_direct_minhash_index(refs: tuple, num_perms: int):
+    """Build the uid-sorted minhash verify index ONCE: (uid_sorted
+    int64[n], sigs uint64[n × P] in uid order).  Runs as a single Ray
+    task; its return value lives in the object store and every verify
+    worker on every node maps it zero-copy (numpy-over-plasma).  This
+    replaces the r1 per-worker build — gather + url hash + argsort +
+    a full contiguous copy of the signature matrix in EVERY worker
+    process, a constant per-process cost that capped the direct plan's
+    N-vs-4N scaling at ~0.5."""
+    tbl = _gather_url_payload(refs, ("minhash",))
+    if tbl is None:
+        return np.empty(0, np.int64), np.empty((0, num_perms), np.uint64)
+    uid = uid_of_urls(tbl["url"])
+    order = np.argsort(uid, kind="stable")
+    m = np.asarray(
+        tbl["minhash"].combine_chunks().flatten()).reshape(len(uid), num_perms)
+    return uid[order], np.ascontiguousarray(m[order])
+
+
+def _build_direct_text_index(refs: tuple):
+    """uid-sorted text lookup, built once and object-store-shared (see
+    _build_direct_minhash_index)."""
+    tbl = _gather_url_payload(refs, ("text",))
+    if tbl is None:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    uid = uid_of_urls(tbl["url"])
+    order = np.argsort(uid, kind="stable")
+    txt = tbl["text"].combine_chunks().take(pa.array(order, pa.int64()))
+    return uid[order], txt
+
+
+def _shared_index(ref):
+    """Per-worker zero-copy view of a prebuilt index ObjectRef."""
+    import ray as _ray
+
+    hit = _UID_CACHE.get(ref)
+    if hit is None:
+        hit = _ray.get(ref)
+        _UID_CACHE[ref] = hit
     return hit
 
 
@@ -382,35 +402,34 @@ def verify_near_edges(
     broadcast plan (see lsh.verify_edges_smallset for the rationale;
     identical semantics, integer keys).
 
-    ``direct_refs=True`` (only valid for 64-bit uids) scores against the
-    already-materialized ``sigs`` table's own block refs: it skips both
-    the serial driver pull of every candidate endpoint
-    (``_edge_uid_set``) and the semi-filter execution — two whole
-    barriers — at the cost of each worker holding the full
-    n_reps×num_perms signature matrix, so run_dedup only picks it when
-    that matrix fits ``cfg.verify_direct_max_bytes``."""
+    ``direct_refs=True`` (only valid for 64-bit uids) scores against an
+    index built straight from the already-materialized ``sigs`` table's
+    block refs: it skips both the serial driver pull of every candidate
+    endpoint (``_edge_uid_set``) and the semi-filter execution — two
+    whole barriers.  The uid-sorted signature matrix is built by ONE
+    Ray task and shared through the object store; workers map it
+    zero-copy (per-node memory = one copy in plasma, not one per
+    worker process).  run_dedup picks this plan when the matrix fits
+    ``cfg.verify_direct_max_bytes``."""
+    import ray as _ray
+
     from .lsh import block_refs_of
 
     P = cfg.num_perms
     thr = cfg.verify_threshold
     if direct_refs:
         refs = tuple(block_refs_of(sigs))
+        idx_ref = (_ray.remote(num_cpus=1)(_build_direct_minhash_index)
+                   .remote(refs, P))
 
         def score_direct(batch: pa.Table) -> pa.Table:
-            uid_s, order, (mh,) = _direct_index(refs, ("minhash",))
-            mkey = (refs, "mat_direct")
-            m = _UID_CACHE.get(mkey)
-            if m is None:
-                m = (np.asarray(mh.combine_chunks().flatten()
-                                ).reshape(len(uid_s), P)
-                     if len(uid_s) else np.empty((0, P), np.uint64))
-                _UID_CACHE[mkey] = m
+            uid_s, m = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
             ok = (iu >= 0) & (iv >= 0)
             est = np.zeros(len(batch))
             if ok.any():
-                est[ok] = (m[order[iu[ok]]] == m[order[iv[ok]]]).mean(axis=1)
+                est[ok] = (m[iu[ok]] == m[iv[ok]]).mean(axis=1)
             keep = est >= thr
             return pa.table({
                 "u": batch["u"].filter(pa.array(keep)),
@@ -456,16 +475,21 @@ def verify_containment_edges(
 ) -> "ray.data.Dataset":
     """Exact-substring verification of uid (short, long) candidate pairs
     via the same semi-filter + broadcast plan (or, with
-    ``direct_refs=True``, straight against the materialized texts
-    table's block refs — zero-copy shared memory per node, no
-    semi-filter execution)."""
+    ``direct_refs=True``, against a uid-sorted text index built once
+    from the materialized texts table's block refs and shared through
+    the object store — zero-copy per node, no semi-filter execution,
+    no per-worker index build)."""
+    import ray as _ray
+
     from .lsh import block_refs_of
 
     if direct_refs:
         refs = tuple(block_refs_of(texts))
+        idx_ref = (_ray.remote(num_cpus=1)(_build_direct_text_index)
+                   .remote(refs))
 
         def check_direct(batch: pa.Table) -> pa.Table:
-            uid_s, order, (txt,) = _direct_index(refs, ("text",))
+            uid_s, txt = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
             keep = []
@@ -473,8 +497,8 @@ def verify_containment_edges(
                 if a < 0 or b < 0:
                     keep.append(False)
                     continue
-                ta = txt[int(order[a])].as_py()
-                tb = txt[int(order[b])].as_py()
+                ta = txt[int(a)].as_py()
+                tb = txt[int(b)].as_py()
                 keep.append(bool(ta) and bool(tb) and (ta in tb))
             m = pa.array(keep)
             return pa.table({"u": batch["u"].filter(m),
