@@ -439,8 +439,13 @@ def run_dedup(
     # re-executes per branch (2× the corpus-wide maps; the r1 profile's
     # post-components tail scaled at 0.36 mostly because of this).  The
     # table is skinny (no text column on either rep-text plan).
-    final_members = enriched.map_batches(
-        finalize, batch_format="pyarrow").materialize()
+    # repartition(shuffle=False) coalesces the read-inherited block
+    # fragmentation (cfg.tail_blocks) — every downstream stage's task
+    # count and the keeper exchange's input-block count drop with it
+    final_members = (enriched.map_batches(finalize, batch_format="pyarrow")
+                     .repartition(cfg.tail_blocks)
+                     .materialize())
+    timer.tick("finalize")
 
     # ---- keeper resolution per cluster (shuffle on canonical uid) ----------
     # Singleton clusters (match_kind == "unique": exact_size == 1 and no
