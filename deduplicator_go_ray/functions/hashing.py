@@ -57,19 +57,47 @@ def _as_large_binary(values) -> "object":
     return arr
 
 
+# per-pass payload cap for hash64_str: bounds the power tables and the
+# prefix-sum working set so they stay cache-resident — one 12 MB batch
+# otherwise builds a 12M-entry table and streams every pass from DRAM
+# (measured 2.4 s cold for 459k urls vs ~0.15 s chunked)
+_HASH_CHUNK_BYTES = 1 << 21
+
+
 def hash64_str(values, seed: int = 0) -> np.ndarray:
     """Stable vectorized 64-bit hash per string/bytes value: polynomial
     rolling hash over the utf-8 bytes (mod 2^64, prefix-sum scheme — one
     O(total bytes) pass, zero-copy out of the Arrow buffers) mixed with
     the length and seed through the splitmix64 finalizer.  Constants are
     fixed, so values are identical across runs / batch splits /
-    partitionings (the determinism invariant, files/move.go:226-236).
+    partitionings (the determinism invariant, files/move.go:226-236) —
+    including across the internal chunking below: each value's hash
+    depends only on its own bytes (the prefix scheme telescopes to
+    sum(byte_j · base^(len−1−j))), so slicing is invisible.
     Accepts list[str], numpy object arrays, or pyarrow (Chunked)Arrays.
     """
     arr = _as_large_binary(values)
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    offs_all = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1,
+                             offset=arr.offset * 8)
+    if int(offs_all[-1] - offs_all[0]) > _HASH_CHUNK_BYTES and n > 1:
+        rel = offs_all - offs_all[0]
+        cuts = [0]
+        while cuts[-1] < n:
+            nxt = int(np.searchsorted(
+                rel, rel[cuts[-1]] + _HASH_CHUNK_BYTES, side="left"))
+            cuts.append(min(max(nxt, cuts[-1] + 1), n))
+        out = np.empty(n, dtype=np.uint64)
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            out[s:e] = _hash64_pass(arr.slice(s, e - s), seed)
+        return out
+    return _hash64_pass(arr, seed)
+
+
+def _hash64_pass(arr, seed: int) -> np.ndarray:
+    n = len(arr)
     offs_buf = arr.buffers()[1]
     offs = np.frombuffer(offs_buf, dtype=np.int64, count=n + 1,
                          offset=arr.offset * 8)

@@ -323,6 +323,13 @@ def run_dedup(
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
                 edge_sets.append(verify_containment_edges(
                     sub_cand, reps, direct_refs=direct))
+        if timer.on and len(edge_sets) > 1:
+            # phase-timing mode: materialize each edge set separately so
+            # the [phase] trace attributes near-verify vs containment
+            edge_sets[0] = edge_sets[0].materialize()
+            timer.tick("verify_near")
+            edge_sets[1] = edge_sets[1].materialize()
+            timer.tick("verify_containment")
         all_tagged = (edge_sets[0].union(*edge_sets[1:])
                       if len(edge_sets) > 1 else edge_sets[0]).materialize()
     timer.tick("verify+edges")

@@ -352,12 +352,16 @@ def _build_direct_minhash_index(refs: tuple, num_perms: int):
     N-vs-4N scaling at ~0.5."""
     tbl = _gather_url_payload(refs, ("minhash",))
     if tbl is None:
-        return np.empty(0, np.int64), np.empty((0, num_perms), np.uint64)
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty((0, num_perms), np.uint64))
     uid = uid_of_urls(tbl["url"])
     order = np.argsort(uid, kind="stable")
+    # matrix stays in block order — probes map sorted positions through
+    # ``order`` — so the build pays ONE contiguous copy (combine_chunks),
+    # not a second full reorder gather
     m = np.asarray(
         tbl["minhash"].combine_chunks().flatten()).reshape(len(uid), num_perms)
-    return uid[order], np.ascontiguousarray(m[order])
+    return uid[order], order, m
 
 
 def _build_direct_text_index(refs: tuple):
@@ -365,11 +369,13 @@ def _build_direct_text_index(refs: tuple):
     _build_direct_minhash_index)."""
     tbl = _gather_url_payload(refs, ("text",))
     if tbl is None:
-        return np.empty(0, np.int64), pa.array([], pa.string())
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pa.array([], pa.string()))
     uid = uid_of_urls(tbl["url"])
     order = np.argsort(uid, kind="stable")
-    txt = tbl["text"].combine_chunks().take(pa.array(order, pa.int64()))
-    return uid[order], txt
+    # texts stay in block order (combine_chunks only) — a .take(order)
+    # would gather-copy the whole text payload
+    return uid[order], order, tbl["text"].combine_chunks()
 
 
 def _shared_index(ref):
@@ -423,13 +429,13 @@ def verify_near_edges(
                    .remote(refs, P))
 
         def score_direct(batch: pa.Table) -> pa.Table:
-            uid_s, m = _shared_index(idx_ref)
+            uid_s, order, m = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
             ok = (iu >= 0) & (iv >= 0)
             est = np.zeros(len(batch))
             if ok.any():
-                est[ok] = (m[iu[ok]] == m[iv[ok]]).mean(axis=1)
+                est[ok] = (m[order[iu[ok]]] == m[order[iv[ok]]]).mean(axis=1)
             keep = est >= thr
             return pa.table({
                 "u": batch["u"].filter(pa.array(keep)),
@@ -489,7 +495,7 @@ def verify_containment_edges(
                    .remote(refs))
 
         def check_direct(batch: pa.Table) -> pa.Table:
-            uid_s, txt = _shared_index(idx_ref)
+            uid_s, order, txt = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
             keep = []
@@ -497,8 +503,8 @@ def verify_containment_edges(
                 if a < 0 or b < 0:
                     keep.append(False)
                     continue
-                ta = txt[int(a)].as_py()
-                tb = txt[int(b)].as_py()
+                ta = txt[int(order[a])].as_py()
+                tb = txt[int(order[b])].as_py()
                 keep.append(bool(ta) and bool(tb) and (ta in tb))
             m = pa.array(keep)
             return pa.table({"u": batch["u"].filter(m),
