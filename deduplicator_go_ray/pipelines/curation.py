@@ -251,6 +251,146 @@ register(
 # per-source rollup (map-side combine)
 # --------------------------------------------------------------------------
 
+_DOMAIN_CAP = 15   # keep at most this many docs per source
+
+
+def domain_cap(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic per-source document cap (the per-domain quota step
+    of a crawl-curation pipeline): within each source, docs are ranked
+    by (md5 of id, id) — a pure function of content identity, so any
+    worker on any cluster ranks identically — and only the first
+    ``_DOMAIN_CAP`` survive.  One hash shuffle on ``source``; ranking
+    is vectorized per partition."""
+    docs = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = _md5_lower64([str(i) for i in df["doc_id"].tolist()])
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        df["rk"] = df.groupby("source", sort=False).cumcount() + 1
+        out = df[df["rk"] <= _DOMAIN_CAP]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "source": out["source"],
+            "rk": out["rk"].astype("int64"),
+        })
+
+    return grouped_apply(docs, ["source"], cap, num_partitions=8)
+
+
+register(
+    "domain_cap",
+    domain_cap,
+    f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= {_DOMAIN_CAP}
+    """,
+)
+
+
+_CONTAM_NGRAM = 5     # words per contamination shingle
+_BENCH_MOD = 97       # doc_id % this == 0 -> benchmark member
+
+
+def _word_ngrams(texts: list[str], n: int) -> pd.DataFrame:
+    """(row, gram) pairs of distinct word n-grams per text, vectorized
+    via the explode + shifted-join pattern (see _repetition_frame)."""
+    words = pd.Series(texts, dtype=object).str.split(" ")
+    ex = words.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    if ex.empty:
+        return pd.DataFrame({"row": pd.Series(dtype=np.int64),
+                             "gram": pd.Series(dtype=object)})
+    row = ex.index.to_numpy(np.int64)
+    w = ex.to_numpy(dtype=object)
+    keep = np.ones(len(w) - n + 1, dtype=bool) if len(w) >= n else np.zeros(0, bool)
+    gram = w[: len(keep)].copy() if len(keep) else np.empty(0, object)
+    for k in range(1, n):
+        keep &= row[k: len(keep) + k] == row[: len(keep)]
+        gram = gram + " " + w[k: len(keep) + k]
+    df = pd.DataFrame({"row": row[: len(keep)][keep], "gram": gram[keep]})
+    return df.drop_duplicates()
+
+
+def contamination_check(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark-contamination scan (the eval-decontamination step of a
+    training-data pipeline): count, per candidate document, how many
+    DISTINCT word 5-grams it shares with a benchmark set.
+
+    The benchmark here is the in-table subset ``doc_id %% 97 == 0`` (no
+    external data; deterministic).  Its distinct-gram set is collected
+    once and broadcast via ``ray.put`` — the canonical small-side
+    pattern: benchmark suites are tiny next to a crawl, so the scan is
+    one map over the corpus, no shuffle.  Membership probing is a
+    vectorized ``pd.Index.get_indexer`` per batch."""
+    import ray as _ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t["doc_id"], np.int64) % _BENCH_MOD == 0)),
+        batch_format="pyarrow")
+    grams: set[str] = set()
+    for b in bench.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        grams.update(
+            _word_ngrams(b["text"].to_pylist(), _CONTAM_NGRAM)["gram"])
+    gram_ref = _ray.put(pd.Index(sorted(grams)))
+
+    def scan(t: pa.Table) -> pa.Table:
+        idx = _ray.get(gram_ref)
+        ids = np.asarray(t["doc_id"], np.int64)
+        cand = ids % _BENCH_MOD != 0
+        n_hits = np.zeros(len(ids), np.int64)
+        g = _word_ngrams(
+            [txt if c else "" for txt, c in
+             zip(t["text"].to_pylist(), cand)], _CONTAM_NGRAM)
+        if len(g):
+            hit = g[idx.get_indexer(g["gram"]) >= 0]
+            cnt = hit.groupby("row").size()
+            n_hits[cnt.index.to_numpy()] = cnt.to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[cand], pa.int64()),
+            "n_contaminated_grams": pa.array(n_hits[cand], pa.int64()),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+register(
+    "contamination_check",
+    contamination_check,
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(ws) - {_CONTAM_NGRAM - 1}),
+                    i -> list_aggregate(ws[i + 1 : i + {_CONTAM_NGRAM}],
+                                        'string_agg', ' '))) AS gram
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents)
+      WHERE len(ws) >= {_CONTAM_NGRAM}),
+    bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+    cand AS (
+      SELECT DISTINCT doc_id, gram FROM grams
+      WHERE doc_id % {_BENCH_MOD} <> 0),
+    hits AS (
+      SELECT cand.doc_id, count(*) AS n
+      FROM cand JOIN bench USING (gram) GROUP BY cand.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated_grams
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+
+
 def source_stats(sf_dir: str) -> "ray.data.Dataset":
     docs = _read_docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
 

@@ -77,6 +77,43 @@ def test_stratified_sample_counts_bounded_by_source_totals(registry):
     assert 0.03 <= merged["n_sampled"].sum() / merged["n_docs"].sum() <= 0.25
 
 
+def test_domain_cap_bounds_and_determinism(registry):
+    from deduplicator_go_ray.pipelines.curation import _DOMAIN_CAP
+
+    a = registry["domain_cap"](SF_DIR).to_pandas()
+    b = registry["domain_cap"](SF_DIR).to_pandas()
+    key = ["source", "rk"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    per_src = a.groupby("source").size()
+    assert (per_src <= _DOMAIN_CAP).all()
+    # ranks are 1..k contiguous within each source
+    for _, g in a.groupby("source"):
+        assert sorted(g["rk"]) == list(range(1, len(g) + 1))
+
+
+def test_word_ngrams_kernel():
+    from deduplicator_go_ray.pipelines.curation import _word_ngrams
+
+    df = _word_ngrams(["a b c", "a b c d", "", "x"], 3)
+    got = {(r, g) for r, g in zip(df["row"], df["gram"])}
+    assert got == {(0, "a b c"), (1, "a b c"), (1, "b c d")}
+    # distinct within a row: repeated gram counted once
+    df2 = _word_ngrams(["a b a b a b"], 2)
+    assert sorted(df2["gram"]) == ["a b", "b a"]
+
+
+def test_contamination_excludes_benchmark_and_is_nonnegative(registry):
+    from deduplicator_go_ray.pipelines.curation import _BENCH_MOD
+
+    out = registry["contamination_check"](SF_DIR).to_pandas()
+    assert (out["doc_id"] % _BENCH_MOD != 0).all()
+    assert (out["n_contaminated_grams"] >= 0).all()
+    # 500 docs minus the benchmark members (doc_id % 97 == 0: 6 of them)
+    assert len(out) == 494
+
+
 def test_source_stats_totals_match_corpus(registry):
     stats = registry["source_stats"](SF_DIR).to_pandas()
     assert stats["n_docs"].sum() == 500
