@@ -447,10 +447,16 @@ def run_dedup(
     # post-components tail scaled at 0.36 mostly because of this).  The
     # table is skinny (no text column on either rep-text plan).
     # repartition(shuffle=False) coalesces the read-inherited block
-    # fragmentation (cfg.tail_blocks) — every downstream stage's task
-    # count and the keeper exchange's input-block count drop with it
+    # fragmentation — every downstream stage's task count and the
+    # keeper exchange's input-block count drop with it (see
+    # cfg.tail_rows_per_block)
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        _cpus = 32
+    tail_blocks = int(max(2 * _cpus, n_docs // cfg.tail_rows_per_block))
     final_members = (enriched.map_batches(finalize, batch_format="pyarrow")
-                     .repartition(cfg.tail_blocks)
+                     .repartition(tail_blocks)
                      .materialize())
     timer.tick("finalize")
 

@@ -301,8 +301,20 @@ def _semi_filter_by_uid(ds: "ray.data.Dataset", uid_sorted: np.ndarray,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-# per-worker cache of broadcast lookup structures keyed by block refs
+# per-worker cache of broadcast lookup structures keyed by block refs.
+# Bounded: each entry can pin hundreds of MB of plasma (zero-copy
+# views hold their backing object alive), and a long session runs many
+# pipelines — insertion-ordered eviction keeps only the active run's
+# indexes.
 _UID_CACHE: dict = {}
+_UID_CACHE_MAX = 8
+
+
+def _cache_put(key, val):
+    while len(_UID_CACHE) >= _UID_CACHE_MAX:
+        _UID_CACHE.pop(next(iter(_UID_CACHE)))
+    _UID_CACHE[key] = val
+    return val
 
 
 def _uid_index(refs: tuple, columns: tuple[str, ...]):
@@ -326,7 +338,7 @@ def _uid_index(refs: tuple, columns: tuple[str, ...]):
         idx = pd.Index(np.empty(0, dtype=np.int64))
         payload = [pa.chunked_array([], pa.null()) for _ in columns]
     out = (idx, payload)
-    _UID_CACHE[key] = out
+    _cache_put(key, out)
     return out
 
 
@@ -385,7 +397,7 @@ def _shared_index(ref):
     hit = _UID_CACHE.get(ref)
     if hit is None:
         hit = _ray.get(ref)
-        _UID_CACHE[ref] = hit
+        _cache_put(ref, hit)
     return hit
 
 
@@ -456,7 +468,7 @@ def verify_near_edges(
         if m is None:
             m = (np.asarray(mh.combine_chunks().flatten()).reshape(len(idx), P)
                  if len(idx) else np.empty((0, P), np.uint64))
-            _UID_CACHE[mkey] = m
+            _cache_put(mkey, m)
         bits = _uid_bits_of(batch["u"])
         iu = idx.get_indexer(uid_np(batch["u"], bits))
         iv = idx.get_indexer(uid_np(batch["v"], bits))
@@ -561,7 +573,7 @@ def semi_filter_by_uid_refs(
                     for t in usable]
             hit = (np.sort(np.concatenate(arrs)) if arrs
                    else np.empty(0, dtype=np.int64))
-            _UID_CACHE[key] = hit
+            _cache_put(key, hit)
         return hit
 
     def f(batch: pa.Table) -> pa.Table:

@@ -84,3 +84,24 @@ def test_url_canonicalization_idempotent(path):
     u = f"https://Example.com/{path}"
     once = canonicalize_url(u)
     assert canonicalize_url(once) == once
+
+
+@SMALL
+@given(st.lists(st.text(max_size=50), min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=64))
+def test_hash64_chunking_invisible(strings, chunk_bytes):
+    """hash64_str's internal payload chunking must be invisible: each
+    value's hash depends only on its own bytes, so any chunk size gives
+    bit-identical output (the determinism invariant under the cache-
+    residency optimization)."""
+    from deduplicator_go_ray.functions import hashing
+
+    old = hashing._HASH_CHUNK_BYTES
+    try:
+        hashing._HASH_CHUNK_BYTES = 1 << 40
+        ref = hashing.hash64_str(strings, seed=5)
+        hashing._HASH_CHUNK_BYTES = chunk_bytes
+        got = hashing.hash64_str(strings, seed=5)
+    finally:
+        hashing._HASH_CHUNK_BYTES = old
+    assert np.array_equal(ref, got)
