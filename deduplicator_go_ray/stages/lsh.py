@@ -181,8 +181,18 @@ def verify_edges(
 
 
 # per-worker cache of deserialized broadcast indexes, keyed by the
-# object refs — built once per worker process, reused by every task
+# object refs — built once per worker process, reused by every task.
+# Bounded (insertion-order eviction): entries hold zero-copy views that
+# pin their backing plasma objects alive across pipeline runs.
 _BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
+
+
+def _bcast_put(key, val):
+    while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+        _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+    _BCAST_CACHE[key] = val
+    return val
 
 
 def block_refs_of(ds: "ray.data.Dataset") -> list:
@@ -211,14 +221,12 @@ def _worker_index(refs: tuple, columns: tuple[str, ...]):
               if len(t) and all(c in t.column_names for c in columns)]
     if not usable:
         out = (pd.Index([]), [pa.chunked_array([], pa.null()) for _ in columns[1:]])
-        _BCAST_CACHE[key] = out
-        return out
+        return _bcast_put(key, out)
     tbl = pa.concat_tables([t.select(list(columns)) for t in usable])
     idx = pd.Index(tbl[columns[0]].to_pandas())
     payload = [tbl[c] for c in columns[1:]]
     out = (idx, payload)
-    _BCAST_CACHE[key] = out
-    return out
+    return _bcast_put(key, out)
 
 
 def edge_urls(edges: "ray.data.Dataset") -> set:
@@ -272,7 +280,7 @@ def verify_edges_broadcast(
         m = _BCAST_CACHE.get(key)
         if m is None:
             m = np.asarray(mh.combine_chunks().flatten()).reshape(len(idx), P)
-            _BCAST_CACHE[key] = m
+            _bcast_put(key, m)
         iu = idx.get_indexer(batch["u"].to_pandas())
         iv = idx.get_indexer(batch["v"].to_pandas())
         ok = (iu >= 0) & (iv >= 0)
