@@ -85,30 +85,17 @@ def _repetition_frame(ids: np.ndarray, texts: list[str]) -> pd.DataFrame:
     words = s.str.split(" ")
     out["dup_word_permille"] = dup_permille(words)
 
-    # top 2-gram coverage: explode words keeping batch-row index, pair
-    # each word with its successor within the same row, count pairs per
-    # row, take the max count over grams / the gram total.
-    ex = words.explode()
-    ex = ex[ex.notna() & (ex != "")]
-    if not ex.empty:
-        df = pd.DataFrame({"row": ex.index.to_numpy(), "w": ex.to_numpy()})
-        nxt_row = np.roll(df["row"].to_numpy(), -1)
-        nxt_w = np.roll(df["w"].to_numpy(), -1)
-        keep = nxt_row == df["row"].to_numpy()
-        keep[-1] = False
-        grams = df.loc[keep]
-        if len(grams):
-            g = pd.DataFrame({
-                "row": grams["row"].to_numpy(),
-                "gram": grams["w"].to_numpy() + " " + nxt_w[keep],
-            })
-            cnt = g.groupby(["row", "gram"], sort=False).size()
-            per_row = cnt.groupby(level=0)
-            top = per_row.max()
-            tot = per_row.sum()
-            res = (1000 * top // tot).astype(np.int64)
-            out["top_2gram_permille"] = res.reindex(
-                range(n), fill_value=0).to_numpy()
+    # top 2-gram coverage: all (row, gram) occurrences via the shared
+    # n-gram kernel, then max count over grams / the gram total per row
+    g = _word_ngrams(texts, 2, distinct=False)
+    if len(g):
+        cnt = g.groupby(["row", "gram"], sort=False).size()
+        per_row = cnt.groupby(level=0)
+        top = per_row.max()
+        tot = per_row.sum()
+        res = (1000 * top // tot).astype(np.int64)
+        out["top_2gram_permille"] = res.reindex(
+            range(n), fill_value=0).to_numpy()
     return out
 
 
@@ -232,7 +219,10 @@ def stratified_sample(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame({"source": g["source"],
                              "n_sampled": g["n"].astype("int64")})
 
-    return grouped_apply(partials, ["source"], reduce, num_partitions=8)
+    return grouped_apply(partials, ["source"], reduce, num_partitions=8,
+                         empty_result=pa.table({
+                             "source": pa.array([], pa.string()),
+                             "n_sampled": pa.array([], pa.int64())}))
 
 
 register(
@@ -275,7 +265,11 @@ def domain_cap(sf_dir: str) -> "ray.data.Dataset":
             "rk": out["rk"].astype("int64"),
         })
 
-    return grouped_apply(docs, ["source"], cap, num_partitions=8)
+    return grouped_apply(docs, ["source"], cap, num_partitions=8,
+                         empty_result=pa.table({
+                             "doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "rk": pa.array([], pa.int64())}))
 
 
 register(
@@ -298,9 +292,12 @@ _CONTAM_NGRAM = 5     # words per contamination shingle
 _BENCH_MOD = 97       # doc_id % this == 0 -> benchmark member
 
 
-def _word_ngrams(texts: list[str], n: int) -> pd.DataFrame:
-    """(row, gram) pairs of distinct word n-grams per text, vectorized
-    via the explode + shifted-join pattern (see _repetition_frame)."""
+def _word_ngrams(texts: list[str], n: int,
+                 distinct: bool = True) -> pd.DataFrame:
+    """(row, gram) pairs of word n-grams per text — distinct per row by
+    default, every occurrence with ``distinct=False`` — vectorized via
+    the explode + shifted-join pattern.  Words split on single spaces;
+    empty fragments drop (matching the DuckDB ``list_filter`` oracles)."""
     words = pd.Series(texts, dtype=object).str.split(" ")
     ex = words.explode()
     ex = ex[ex.notna() & (ex != "")]
@@ -315,7 +312,7 @@ def _word_ngrams(texts: list[str], n: int) -> pd.DataFrame:
         keep &= row[k: len(keep) + k] == row[: len(keep)]
         gram = gram + " " + w[k: len(keep) + k]
     df = pd.DataFrame({"row": row[: len(keep)][keep], "gram": gram[keep]})
-    return df.drop_duplicates()
+    return df.drop_duplicates() if distinct else df
 
 
 def contamination_check(sf_dir: str) -> "ray.data.Dataset":
@@ -422,7 +419,13 @@ def source_stats(sf_dir: str) -> "ray.data.Dataset":
             g[c] = g[c].astype("int64")
         return g
 
-    return grouped_apply(partials, ["source"], reduce, num_partitions=8)
+    return grouped_apply(partials, ["source"], reduce, num_partitions=8,
+                         empty_result=pa.table({
+                             "source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "total_chars": pa.array([], pa.int64()),
+                             "max_chars": pa.array([], pa.int64()),
+                             "n_en": pa.array([], pa.int64())}))
 
 
 register(

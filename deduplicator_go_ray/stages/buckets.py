@@ -301,20 +301,15 @@ def _semi_filter_by_uid(ds: "ray.data.Dataset", uid_sorted: np.ndarray,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-# per-worker cache of broadcast lookup structures keyed by block refs.
-# Bounded: each entry can pin hundreds of MB of plasma (zero-copy
-# views hold their backing object alive), and a long session runs many
-# pipelines — insertion-ordered eviction keeps only the active run's
-# indexes.
+# per-worker cache of broadcast lookup structures keyed by block refs
+# (bounded — see common.bounded_cache_put)
 _UID_CACHE: dict = {}
-_UID_CACHE_MAX = 8
 
 
 def _cache_put(key, val):
-    while len(_UID_CACHE) >= _UID_CACHE_MAX:
-        _UID_CACHE.pop(next(iter(_UID_CACHE)))
-    _UID_CACHE[key] = val
-    return val
+    from .common import bounded_cache_put
+
+    return bounded_cache_put(_UID_CACHE, key, val)
 
 
 def _uid_index(refs: tuple, columns: tuple[str, ...]):
@@ -385,9 +380,13 @@ def _build_direct_text_index(refs: tuple):
                 pa.array([], pa.string()))
     uid = uid_of_urls(tbl["url"])
     order = np.argsort(uid, kind="stable")
-    # texts stay in block order (combine_chunks only) — a .take(order)
-    # would gather-copy the whole text payload
-    return uid[order], order, tbl["text"].combine_chunks()
+    # texts stay in block order — a .take(order) would gather-copy the
+    # whole payload.  Cast to large_string BEFORE combining: combine on
+    # int32-offset `string` raises ArrowInvalid past 2 GiB of
+    # concatenated rep texts (the minhash-byte gate that selects this
+    # plan never bounds TEXT bytes).
+    txt = tbl["text"].cast(pa.large_string()).combine_chunks()
+    return uid[order], order, txt
 
 
 def _shared_index(ref):

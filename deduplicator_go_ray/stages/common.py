@@ -209,6 +209,18 @@ def grouped_apply(
     )
 
 
+def bounded_cache_put(cache: dict, key, val, max_entries: int = 8):
+    """FIFO-bounded worker-cache insert.  Broadcast-index caches hold
+    zero-copy views that pin their backing plasma objects alive, so an
+    unbounded cache leaks object-store memory across pipeline runs in a
+    long session; insertion-order eviction keeps only the active run's
+    indexes."""
+    while len(cache) >= max_entries:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+    return val
+
+
 def schema_names(ds: "ray.data.Dataset") -> list[str]:
     """Column names, or [] when the dataset is empty with no schema
     (Ray returns None for a fully-empty aggregate result)."""

@@ -181,18 +181,15 @@ def verify_edges(
 
 
 # per-worker cache of deserialized broadcast indexes, keyed by the
-# object refs — built once per worker process, reused by every task.
-# Bounded (insertion-order eviction): entries hold zero-copy views that
-# pin their backing plasma objects alive across pipeline runs.
+# object refs — built once per worker process, reused by every task
+# (bounded — see common.bounded_cache_put)
 _BCAST_CACHE: dict = {}
-_BCAST_CACHE_MAX = 8
 
 
 def _bcast_put(key, val):
-    while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
-        _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
-    _BCAST_CACHE[key] = val
-    return val
+    from .common import bounded_cache_put
+
+    return bounded_cache_put(_BCAST_CACHE, key, val)
 
 
 def block_refs_of(ds: "ray.data.Dataset") -> list:
