@@ -8,12 +8,14 @@ Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
      "queries": {...}, "sf": "...", "num_cpus": N, "docs_per_sec": ...}
 
 ``--scaling``: runs the flagship dedup pipeline twice in FRESH
-subprocesses at num_cpus=8 and num_cpus=32 on the same input — the
-sandbox stand-in for the north rule's N-vs-4N-node criterion
-(BASELINE.md §3) — reporting both throughputs, the scaling efficiency
-(target ≥ 0.8) and whether cluster assignments are identical across
-parallelism (the coordination-free-determinism invariant,
-≙ files/move.go:226-236 in the reference).
+subprocesses at two parallelism levels (``GRAFT_SCALE_LO``/``HI``,
+default 4 and 16 cpus — see run_scaling for why not 8/32 on this box)
+on the same input — the sandbox stand-in for the north rule's
+N-vs-4N-node criterion (BASELINE.md §3-4) — reporting both
+throughputs, the scaling efficiency (target ≥ 0.8), adjacent
+host-ceiling calibrations, and whether cluster assignments are
+identical across parallelism (the coordination-free-determinism
+invariant, ≙ files/move.go:226-236 in the reference).
 """
 
 from __future__ import annotations
