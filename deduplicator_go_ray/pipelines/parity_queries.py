@@ -260,3 +260,76 @@ register(
       AND position(a.text IN b.text) > 0
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# mirror set-completion: per-host missing-copy plan (the actionable
+# half of the mirror pass beyond mirror_plan's counts — ≙ the
+# reference's copy-task emission over the host set,
+# files/group_mirror.go:368-425 context / files/mirror.go:83-101).
+# Transplant: "host" = the documents table's source column.  For every
+# content hash present on at least one host but absent from another,
+# emit one (hash, dst_host, src_host) copy instruction; src_host is
+# the deterministic min present host, n_have the present count.
+# --------------------------------------------------------------------------
+
+def mirror_missing(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["text", "source"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array(_md5_col(t["text"].to_pylist()), pa.string()),
+            "source": t["source"],
+        })
+
+    pres = docs.map_batches(hashed, batch_format="pyarrow")
+
+    # the host set is the mirror topology — inherently small (the
+    # reference's explicit host table); one tiny driver pull, broadcast
+    # by closure capture
+    hosts: set[str] = set()
+    for b in pres.select_columns(["source"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        hosts.update(pa.compute.unique(b["source"]).to_pylist())
+    host_list = sorted(hosts)
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        present = df.drop_duplicates(["h", "source"])
+        have = present.groupby("h", sort=False).agg(
+            src_host=("source", "min"),
+            n_have=("source", "nunique")).reset_index()
+        full = pd.MultiIndex.from_product(
+            [have["h"], host_list], names=["h", "dst_host"]
+        ).to_frame(index=False)
+        pres_idx = pd.MultiIndex.from_frame(present[["h", "source"]])
+        miss = full[~pd.MultiIndex.from_frame(full).isin(pres_idx)]
+        out = miss.merge(have, on="h")
+        out["n_have"] = out["n_have"].astype("int64")
+        return out[["h", "dst_host", "src_host", "n_have"]]
+
+    return grouped_apply(
+        pres, ["h"], plan,
+        empty_result=pa.table({
+            "h": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "src_host": pa.array([], pa.string()),
+            "n_have": pa.array([], pa.int64())}))
+
+
+register(
+    "mirror_missing",
+    mirror_missing,
+    """
+    WITH pres AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+    hosts AS (SELECT DISTINCT source FROM documents),
+    have AS (SELECT h, MIN(source) AS src_host,
+                    COUNT(DISTINCT source) AS n_have
+             FROM pres GROUP BY h)
+    SELECT have.h, hosts.source AS dst_host, have.src_host,
+           CAST(have.n_have AS BIGINT) AS n_have
+    FROM have CROSS JOIN hosts
+    WHERE NOT EXISTS (SELECT 1 FROM pres
+                      WHERE pres.h = have.h
+                        AND pres.source = hosts.source)
+    """,
+)
