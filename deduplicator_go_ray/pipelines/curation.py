@@ -238,6 +238,72 @@ register(
 
 
 # --------------------------------------------------------------------------
+# exact grouped quantiles via value-count histograms
+# --------------------------------------------------------------------------
+
+_QUANTILES_PERMILLE = (250, 500, 900, 990)
+
+
+def length_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-language n_chars quantiles, computed scale-safely: each
+    batch emits (lang, n_chars, count) partials — the exchange moves the
+    VALUE DOMAIN (langs × distinct lengths), never rows — and the
+    grouped reduce reads quantiles off the merged histogram.  Selection
+    matches DuckDB ``quantile_disc`` bit-for-bit: the smallest value
+    whose cumulative count reaches ceil(q·N), with ceil done in integer
+    arithmetic (q·N in floats drifts above integers, e.g. 0.9·30)."""
+    docs = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pylist(),
+            "n_chars": np.asarray(t["n_chars"], np.int64),
+        })
+        g = df.groupby(["lang", "n_chars"], sort=False).size().rename(
+            "c").reset_index()
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            h = (g.groupby("n_chars", sort=True)["c"].sum()
+                 .astype("int64"))
+            cum = h.cumsum().to_numpy()
+            vals = h.index.to_numpy()
+            n = int(cum[-1])
+            for qp in _QUANTILES_PERMILLE:
+                target = (qp * n + 999) // 1000
+                pick = vals[int(np.searchsorted(cum, target))]
+                out.append((lang, qp, int(pick)))
+        return pd.DataFrame(out, columns=["lang", "q_permille", "n_chars_q"]
+                            ).astype({"q_permille": "int64",
+                                      "n_chars_q": "int64"})
+
+    return grouped_apply(
+        partials, ["lang"], reduce,
+        empty_result=pa.table({
+            "lang": pa.array([], pa.string()),
+            "q_permille": pa.array([], pa.int64()),
+            "n_chars_q": pa.array([], pa.int64())}))
+
+
+register(
+    "length_quantiles",
+    length_quantiles,
+    """
+    SELECT lang,
+           CAST(unnest([250, 500, 900, 990]) AS BIGINT) AS q_permille,
+           CAST(unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9, 0.99]))
+                AS BIGINT) AS n_chars_q
+    FROM documents GROUP BY lang
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # per-source rollup (map-side combine)
 # --------------------------------------------------------------------------
 

@@ -114,6 +114,15 @@ def test_contamination_excludes_benchmark_and_is_nonnegative(registry):
     assert len(out) == 494
 
 
+def test_length_quantiles_monotone_per_lang(registry):
+    out = registry["length_quantiles"](SF_DIR).to_pandas()
+    assert set(out["q_permille"]) == {250, 500, 900, 990}
+    for _, g in out.groupby("lang"):
+        g = g.sort_values("q_permille")
+        assert g["n_chars_q"].is_monotonic_increasing
+        assert len(g) == 4
+
+
 def test_source_stats_totals_match_corpus(registry):
     stats = registry["source_stats"](SF_DIR).to_pandas()
     assert stats["n_docs"].sum() == 500
