@@ -337,56 +337,46 @@ def _uid_index(refs: tuple, columns: tuple[str, ...]):
     return out
 
 
-def _gather_url_payload(refs: tuple, columns: tuple[str, ...]):
+def _build_sorted_index(refs: tuple, payload: str, num_perms: int | None,
+                        key: str = "url"):
+    """Build a uid-sorted verify index ONCE: (uid_sorted int64[n],
+    argsort permutation, payload in BLOCK order).  Runs as a single Ray
+    task; its return value lives in the object store and every verify
+    worker on every node maps it zero-copy (numpy-over-plasma).  This
+    replaces the r1 per-worker build — gather + hash + argsort + a full
+    contiguous copy of the payload in EVERY worker process, a
+    per-process cost that made verification scale NEGATIVELY with
+    worker count (each extra worker re-streams the whole index).
+
+    ``key="url"`` hashes urls to uids (the direct-refs plan over the
+    raw sigs/reps tables); ``key="uid"`` reads the precomputed int64
+    uid column (the semi-filtered skinny tables).  ``payload="minhash"``
+    yields a contiguous (n, num_perms) uint64 matrix; ``payload="text"``
+    a large_string array — cast BEFORE combine_chunks because combining
+    int32-offset strings raises ArrowInvalid past 2 GiB, and no byte
+    gate bounds the text side.  The payload stays in block order —
+    probes map sorted positions through ``order`` — so the build pays
+    ONE contiguous copy, not a second full reorder gather."""
     import ray as _ray
 
     tables = _ray.get(list(refs))
     usable = [t for t in tables
-              if len(t) and all(c in t.column_names for c in ("url",) + columns)]
+              if len(t) and all(c in t.column_names for c in (key, payload))]
     if not usable:
-        return None
-    return pa.concat_tables([t.select(["url", *columns]) for t in usable])
-
-
-def _build_direct_minhash_index(refs: tuple, num_perms: int):
-    """Build the uid-sorted minhash verify index ONCE: (uid_sorted
-    int64[n], sigs uint64[n × P] in uid order).  Runs as a single Ray
-    task; its return value lives in the object store and every verify
-    worker on every node maps it zero-copy (numpy-over-plasma).  This
-    replaces the r1 per-worker build — gather + url hash + argsort +
-    a full contiguous copy of the signature matrix in EVERY worker
-    process, a constant per-process cost that capped the direct plan's
-    N-vs-4N scaling at ~0.5."""
-    tbl = _gather_url_payload(refs, ("minhash",))
-    if tbl is None:
-        return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.empty((0, num_perms), np.uint64))
-    uid = uid_of_urls(tbl["url"])
+        pay = (np.empty((0, num_perms), np.uint64) if num_perms
+               else pa.array([], pa.large_string()))
+        return np.empty(0, np.int64), np.empty(0, np.int64), pay
+    tbl = pa.concat_tables([t.select([key, payload]) for t in usable])
+    uid = (uid_of_urls(tbl[key]) if key == "url"
+           else np.asarray(tbl[key], np.int64))
     order = np.argsort(uid, kind="stable")
-    # matrix stays in block order — probes map sorted positions through
-    # ``order`` — so the build pays ONE contiguous copy (combine_chunks),
-    # not a second full reorder gather
-    m = np.asarray(
-        tbl["minhash"].combine_chunks().flatten()).reshape(len(uid), num_perms)
-    return uid[order], order, m
-
-
-def _build_direct_text_index(refs: tuple):
-    """uid-sorted text lookup, built once and object-store-shared (see
-    _build_direct_minhash_index)."""
-    tbl = _gather_url_payload(refs, ("text",))
-    if tbl is None:
-        return (np.empty(0, np.int64), np.empty(0, np.int64),
-                pa.array([], pa.string()))
-    uid = uid_of_urls(tbl["url"])
-    order = np.argsort(uid, kind="stable")
-    # texts stay in block order — a .take(order) would gather-copy the
-    # whole payload.  Cast to large_string BEFORE combining: combine on
-    # int32-offset `string` raises ArrowInvalid past 2 GiB of
-    # concatenated rep texts (the minhash-byte gate that selects this
-    # plan never bounds TEXT bytes).
-    txt = tbl["text"].cast(pa.large_string()).combine_chunks()
-    return uid[order], order, txt
+    if num_perms:
+        pay = np.asarray(
+            tbl[payload].combine_chunks().flatten()
+        ).reshape(len(uid), num_perms)
+    else:
+        pay = tbl[payload].cast(pa.large_string()).combine_chunks()
+    return uid[order], order, pay
 
 
 def _shared_index(ref):
@@ -415,31 +405,35 @@ def verify_near_edges(
     cfg: MinHashConfig,
     direct_refs: bool = False,
 ) -> "ray.data.Dataset":
-    """Signature-Jaccard verification of uid edges via the semi-filter +
-    broadcast plan (see lsh.verify_edges_smallset for the rationale;
-    identical semantics, integer keys).
+    """Signature-Jaccard verification of uid edges.
 
-    ``direct_refs=True`` (only valid for 64-bit uids) scores against an
-    index built straight from the already-materialized ``sigs`` table's
-    block refs: it skips both the serial driver pull of every candidate
-    endpoint (``_edge_uid_set``) and the semi-filter execution — two
-    whole barriers.  The uid-sorted signature matrix is built by ONE
-    Ray task and shared through the object store; workers map it
-    zero-copy (per-node memory = one copy in plasma, not one per
-    worker process).  run_dedup picks this plan when the matrix fits
-    ``cfg.verify_direct_max_bytes``."""
+    Both plans score against a uid-sorted signature index built by ONE
+    Ray task and shared through the object store (workers map it
+    zero-copy — per-node memory is one plasma copy, not one per worker
+    process; the r1 per-worker build made this stage scale NEGATIVELY
+    with worker count):
+
+    * ``direct_refs=True`` (only valid for 64-bit uids): index built
+      straight from the already-materialized ``sigs`` table's block
+      refs — skips both the serial driver pull of every candidate
+      endpoint (``_edge_uid_set``) and the semi-filter execution, two
+      whole barriers.  run_dedup picks this when the full matrix fits
+      ``cfg.verify_direct_max_bytes``.
+    * otherwise: semi-filter ``sigs`` down to the candidate endpoints
+      first (the per-worker memory is then bounded by the endpoint
+      set), build the shared index over the skinny table's precomputed
+      uid column.  128-bit uids keep the per-worker pandas-Index probe
+      (no integer searchsorted); the skinny set is the small side.
+    """
     import ray as _ray
 
     from .lsh import block_refs_of
 
     P = cfg.num_perms
     thr = cfg.verify_threshold
-    if direct_refs:
-        refs = tuple(block_refs_of(sigs))
-        idx_ref = (_ray.remote(num_cpus=1)(_build_direct_minhash_index)
-                   .remote(refs, P))
 
-        def score_direct(batch: pa.Table) -> pa.Table:
+    def scored(idx_ref):
+        def score(batch: pa.Table) -> pa.Table:
             uid_s, order, m = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
@@ -454,13 +448,20 @@ def verify_near_edges(
                 "kind": batch["kind"].filter(pa.array(keep)),
             })
 
-        return edges.map_batches(score_direct, batch_format="pyarrow")
+        return edges.map_batches(score, batch_format="pyarrow")
+
+    build = _ray.remote(num_cpus=1)(_build_sorted_index)
+    if direct_refs:
+        refs = tuple(block_refs_of(sigs))
+        return scored(build.remote(refs, "minhash", P, "url"))
 
     uid_sorted = _edge_uid_set(edges)
     skinny = _semi_filter_by_uid(sigs, uid_sorted, ["minhash"]).materialize()
     refs = tuple(block_refs_of(skinny))
+    if uid_sorted.dtype == np.int64:
+        return scored(build.remote(refs, "minhash", P, "uid"))
 
-    def score(batch: pa.Table) -> pa.Table:
+    def score_wide(batch: pa.Table) -> pa.Table:
         idx, (mh,) = _uid_index(refs, ("minhash",))
         mkey = (refs, "mat")
         m = _UID_CACHE.get(mkey)
@@ -482,7 +483,7 @@ def verify_near_edges(
             "kind": batch["kind"].filter(pa.array(keep)),
         })
 
-    return edges.map_batches(score, batch_format="pyarrow")
+    return edges.map_batches(score_wide, batch_format="pyarrow")
 
 
 def verify_containment_edges(
@@ -490,22 +491,17 @@ def verify_containment_edges(
     texts: "ray.data.Dataset",
     direct_refs: bool = False,
 ) -> "ray.data.Dataset":
-    """Exact-substring verification of uid (short, long) candidate pairs
-    via the same semi-filter + broadcast plan (or, with
-    ``direct_refs=True``, against a uid-sorted text index built once
-    from the materialized texts table's block refs and shared through
-    the object store — zero-copy per node, no semi-filter execution,
-    no per-worker index build)."""
+    """Exact-substring verification of uid (short, long) candidate
+    pairs — same plan structure as :func:`verify_near_edges`: a shared
+    uid-sorted text index (one build task, zero-copy workers) for both
+    the direct-refs and the semi-filtered plan; 128-bit uids keep the
+    per-worker pandas-Index probe."""
     import ray as _ray
 
     from .lsh import block_refs_of
 
-    if direct_refs:
-        refs = tuple(block_refs_of(texts))
-        idx_ref = (_ray.remote(num_cpus=1)(_build_direct_text_index)
-                   .remote(refs))
-
-        def check_direct(batch: pa.Table) -> pa.Table:
+    def checked(idx_ref):
+        def check(batch: pa.Table) -> pa.Table:
             uid_s, order, txt = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
@@ -522,13 +518,20 @@ def verify_containment_edges(
                              "v": batch["v"].filter(m),
                              "kind": batch["kind"].filter(m)})
 
-        return pairs.map_batches(check_direct, batch_format="pyarrow")
+        return pairs.map_batches(check, batch_format="pyarrow")
+
+    build = _ray.remote(num_cpus=1)(_build_sorted_index)
+    if direct_refs:
+        refs = tuple(block_refs_of(texts))
+        return checked(build.remote(refs, "text", None, "url"))
 
     uid_sorted = _edge_uid_set(pairs)
     skinny = _semi_filter_by_uid(texts, uid_sorted, ["text"]).materialize()
     refs = tuple(block_refs_of(skinny))
+    if uid_sorted.dtype == np.int64:
+        return checked(build.remote(refs, "text", None, "uid"))
 
-    def check(batch: pa.Table) -> pa.Table:
+    def check_wide(batch: pa.Table) -> pa.Table:
         idx, (txt,) = _uid_index(refs, ("text",))
         bits = _uid_bits_of(batch["u"])
         iu = idx.get_indexer(uid_np(batch["u"], bits))
@@ -545,7 +548,7 @@ def verify_containment_edges(
         return pa.table({"u": batch["u"].filter(m), "v": batch["v"].filter(m),
                          "kind": batch["kind"].filter(m)})
 
-    return pairs.map_batches(check, batch_format="pyarrow")
+    return pairs.map_batches(check_wide, batch_format="pyarrow")
 
 
 def semi_filter_by_uid_refs(
