@@ -508,3 +508,85 @@ register(
     GROUP BY source
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# url recrawl dedup: keep the newest capture per canonical URL
+# --------------------------------------------------------------------------
+
+_URL_MOD = 97          # synthetic canonical-URL family (97 urls, ~n/97 captures each)
+_TS_MOD = 100_000      # synthetic capture-time offset range (seconds)
+_ARGMAX_K = 10_000_000  # doc_id < K everywhere, so max(off*K + id) is argmax
+
+
+def url_dedup_latest(sf_dir: str) -> "ray.data.Dataset":
+    """Keep the newest capture per canonical URL — the recrawl-dedup step
+    of a Common-Crawl-style pipeline (input_hint columns url/warc_ts;
+    ≙ the reference's keep-one-row-per-key prune, files/prune.go:175-204,
+    keyed on url with latest-timestamp-wins instead of first-id-wins).
+
+    Scale plan: per-batch partial argmax (one row per url seen in the
+    batch — a map-side combiner, so the shuffle moves O(urls × blocks)
+    skinny int64 rows, never captures), then a small
+    ``groupby(url_key).aggregate(Max, Sum)``.  The argmax is encoded as
+    ``warc_off * K + doc_id`` with ``doc_id < K``, so a plain Max picks
+    the latest capture with doc_id as the deterministic tiebreak —
+    coordination-free, any partitioning produces the same keepers.
+
+    The synthetic (url_key, warc_off) columns are pure functions of
+    doc_id so the DuckDB oracle can derive the identical input.
+    """
+    docs = _read_docs(sf_dir, ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"url_key": pa.array([], pa.int64()),
+                          "comb": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        urlk = ids % _URL_MOD
+        comb = ((ids * 37) % _TS_MOD) * _ARGMAX_K + ids
+        order = np.lexsort((comb, urlk))
+        urlk_s, comb_s = urlk[order], comb[order]
+        starts = np.flatnonzero(np.r_[True, urlk_s[1:] != urlk_s[:-1]])
+        last = np.r_[starts[1:] - 1, len(urlk_s) - 1]
+        counts = np.diff(np.r_[starts, len(urlk_s)]).astype(np.int64)
+        return pa.table({"url_key": pa.array(urlk_s[starts], pa.int64()),
+                         "comb": pa.array(comb_s[last], pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby("url_key")
+               .aggregate(Max("comb", alias_name="comb"),
+                          Sum("n", alias_name="n_caps")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        comb = df["comb"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "url_key": df["url_key"].astype("int64"),
+            "keeper_id": comb % _ARGMAX_K,
+            "latest_off": comb // _ARGMAX_K,
+            "n_caps": df["n_caps"].astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+register(
+    "url_dedup_latest",
+    url_dedup_latest,
+    f"""
+    SELECT url_key,
+           MAX(warc_off * {_ARGMAX_K} + doc_id) % {_ARGMAX_K} AS keeper_id,
+           MAX(warc_off * {_ARGMAX_K} + doc_id) // {_ARGMAX_K} AS latest_off,
+           CAST(COUNT(*) AS BIGINT) AS n_caps
+    FROM (SELECT doc_id,
+                 doc_id % {_URL_MOD} AS url_key,
+                 (doc_id * 37) % {_TS_MOD} AS warc_off
+          FROM documents)
+    GROUP BY url_key
+    """,
+)

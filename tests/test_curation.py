@@ -128,3 +128,48 @@ def test_source_stats_totals_match_corpus(registry):
     assert stats["n_docs"].sum() == 500
     assert (stats["n_en"] <= stats["n_docs"]).all()
     assert (stats["max_chars"] * stats["n_docs"] >= stats["total_chars"]).all()
+
+
+def test_url_dedup_latest_argmax_law(registry):
+    from deduplicator_go_ray.pipelines.curation import _TS_MOD, _URL_MOD
+
+    out = registry["url_dedup_latest"](SF_DIR).to_pandas()
+    # pure-python ground truth over the synthetic (url, ts) derivation
+    ids = np.arange(500, dtype=np.int64)
+    counts = {}
+    best = {}
+    for i in ids:
+        k = int(i) % _URL_MOD
+        counts[k] = counts.get(k, 0) + 1
+        key = ((int(i) * 37) % _TS_MOD, int(i))
+        if k not in best or key > best[k]:
+            best[k] = key
+    assert len(out) == len(best)
+    got = out.set_index("url_key").sort_index()
+    for k, (off, did) in sorted(best.items()):
+        row = got.loc[k]
+        assert int(row["keeper_id"]) == did
+        assert int(row["latest_off"]) == off
+        assert int(row["n_caps"]) == counts[k]
+
+
+def test_url_dedup_latest_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from deduplicator_go_ray.pipelines import curation as c
+
+    frames = []
+    for blocks in (1, 7):
+        docs = rd.read_parquet(
+            SF_DIR + "/documents.parquet", columns=["doc_id"],
+            override_num_blocks=blocks)
+        # same kernel path as the registry query, different blocking
+        orig = c._read_docs
+        try:
+            c._read_docs = lambda _sf, _cols: docs
+            frames.append(
+                c.url_dedup_latest(SF_DIR).to_pandas()
+                .sort_values("url_key").reset_index(drop=True))
+        finally:
+            c._read_docs = orig
+    pd.testing.assert_frame_equal(frames[0], frames[1])
