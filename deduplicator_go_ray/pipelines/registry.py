@@ -41,7 +41,7 @@ _LOADED = False
 # modules that self-register on import; the list grows as operator
 # families land — a missing module is fine, a broken one is not.
 _MODULES = ("relational", "dedup_queries", "textqc", "ann_queries", "windows",
-            "parity_queries", "curation")
+            "parity_queries", "curation", "scrub")
 
 
 def _ensure_loaded() -> None:

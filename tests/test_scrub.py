@@ -1,0 +1,93 @@
+"""Scrub-operator tests: PII-mask known answers, boilerplate threshold
+boundary, and blocking invariance of the two-pass frequent-line filter.
+
+Both queries are SQL-oracled (tools/check_oracle.py); these pin the
+kernel semantics the oracle hash alone doesn't explain.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries()
+
+
+def test_pii_masking_known_answers(registry):
+    out = (registry["pii_scrub"](SF_DIR).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 500
+    # every row got exactly the injected email/phone/ip and nothing else
+    assert (out["n_emails"] == 1).all()
+    assert (out["n_phones"] == 1).all()
+    assert (out["n_ips"] == 1).all()
+    row = out.iloc[3]
+    assert row["clean_text"].endswith("contact [EMAIL] or [PHONE] from [IP]")
+    assert "@" not in row["clean_text"]
+
+
+def test_pii_kernel_masks_freeform_text():
+    from deduplicator_go_ray.pipelines.scrub import (
+        _EMAIL_RE, _IP_RE, _PHONE_RE)
+    import pyarrow.compute as pc
+
+    raw = pa.array([
+        "mail a.b-c%d@sub.domain.co.uk now",
+        "call +44-123-4567 or visit 192.168.0.1",
+        "no pii here",
+    ])
+    clean = raw
+    for pat, rep in ((_EMAIL_RE, "[EMAIL]"), (_PHONE_RE, "[PHONE]"),
+                     (_IP_RE, "[IP]")):
+        clean = pc.replace_substring_regex(clean, pattern=pat, replacement=rep)
+    assert clean.to_pylist() == [
+        "mail [EMAIL] now",
+        "call [PHONE] or visit [IP]",
+        "no pii here",
+    ]
+
+
+def test_boilerplate_threshold_boundary(registry):
+    from deduplicator_go_ray.pipelines.scrub import _FOOTER, _NAV
+
+    out = (registry["boilerplate_lines"](SF_DIR).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 500
+    # 500 docs, 10% threshold = 50: nav(500), footer(500), sec k (~71)
+    # cross it; tag k (~45) and the unique body line do not
+    assert (out["n_dropped"] == 3).all()
+    for txt in out["clean_text"].head(20):
+        lines = txt.split("\n")
+        assert len(lines) == 2
+        assert lines[1].startswith("tag ")
+        assert _NAV not in txt and _FOOTER not in txt
+        assert not any(l.startswith("sec ") for l in lines)
+
+
+def test_boilerplate_blocking_invariant(ray_session):
+    import ray.data as rd
+
+    from deduplicator_go_ray.pipelines import scrub as s
+
+    frames = []
+    for blocks in (1, 9):
+        docs = rd.read_parquet(
+            SF_DIR + "/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=blocks)
+        orig = s._read_docs
+        try:
+            s._read_docs = lambda _sf, _cols: docs
+            frames.append(
+                s.boilerplate_lines(SF_DIR).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        finally:
+            s._read_docs = orig
+    pd.testing.assert_frame_equal(frames[0], frames[1])
