@@ -164,11 +164,13 @@ def _line_frame(t: pa.Table) -> pd.DataFrame:
     })
 
 
-def boilerplate_lines(sf_dir: str) -> "ray.data.Dataset":
+def remove_frequent_lines(docs: "ray.data.Dataset",
+                          thr: int) -> "ray.data.Dataset":
+    """Two-pass frequent-line removal over a (doc_id, text) dataset:
+    lines (of the synthetic page frame) occurring ``>= thr`` times
+    corpus-wide are dropped.  Pass 1 moves only (hash, count) int64
+    partials through the groupby; the frequent set broadcasts once."""
     from ray.data.aggregate import Sum
-
-    docs = _read_docs(sf_dir, ["doc_id", "text"])
-    n_docs = docs.count()
 
     def partial_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -180,8 +182,6 @@ def boilerplate_lines(sf_dir: str) -> "ray.data.Dataset":
 
     counts = (docs.map_batches(partial_counts, batch_format="pyarrow")
                   .groupby("lh").aggregate(Sum("n", alias_name="n")))
-    # count is integral, so `>= fraction·n_docs` ≡ `>= ceil(fraction·n_docs)`
-    thr = int(np.ceil(_FREQ_FRACTION * n_docs))
     freq = counts.filter(expr=f"n >= {thr}")
     # the frequent set is tiny by construction (it IS the boilerplate);
     # collected once, shipped once via the object store
@@ -216,6 +216,13 @@ def boilerplate_lines(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(drop_frequent, batch_format="pyarrow")
 
 
+def boilerplate_lines(sf_dir: str) -> "ray.data.Dataset":
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    # count is integral, so `>= fraction·n_docs` ≡ `>= ceil(fraction·n_docs)`
+    thr = int(np.ceil(_FREQ_FRACTION * docs.count()))
+    return remove_frequent_lines(docs, thr)
+
+
 register(
     "boilerplate_lines",
     boilerplate_lines,
@@ -248,5 +255,167 @@ register(
            COALESCE(a.clean_text, '') AS clean_text,
            CAST(t.n_total - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
     FROM totals t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# composite curation pipeline
+# --------------------------------------------------------------------------
+
+_MIN_FINAL_CHARS = 250   # post-scrub length floor
+_BROADCAST_MAX_KEEPERS = 1_000_000
+
+
+def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    """End-to-end curation chain — what a user of this engine actually
+    runs before training: URL-recrawl dedup (latest capture per
+    canonical URL wins) → corpus-wide boilerplate-line removal → PII
+    masking → minimum-length filter → exact content-hash keep-first.
+
+    Every stage reuses an individually-oracled kernel and the whole
+    chain has ONE composed DuckDB oracle, so the correctness gate
+    covers the composition, not just the parts.  Streaming shape:
+
+    * the keeper set (one id per canonical URL) is the output of a
+      skinny argmax aggregate — broadcast when small, keyed-shuffle
+      semi-join above ``_BROADCAST_MAX_KEEPERS`` (same size switch as
+      ``import_anti_join``);
+    * the frequent-line pass is the two-pass count→broadcast→drop flow
+      of :func:`remove_frequent_lines` (text never shuffles);
+    * PII masking and the length filter are per-batch Arrow kernels;
+    * the final keep-first is one hash shuffle on ``content_hash``
+      with a vectorized per-partition drop_duplicates.
+
+    The survivors dataset is re-derived per pass (two passes read the
+    filtered input — inherent to corpus-relative frequency, the SQL
+    oracle scans twice as well).
+    """
+    from ..functions.hashing import md5_hex
+    from ..stages.common import grouped_apply
+    from ..stages.joins import broadcast_semi_filter, keyed_membership_filter
+    from .curation import url_dedup_latest
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    # 1. url recrawl dedup: keeper ids from the per-url argmax aggregate
+    keepers = url_dedup_latest(sf_dir).select_columns(
+        ["keeper_id"]).materialize()
+    n_keep = keepers.count()
+    if n_keep <= _BROADCAST_MAX_KEEPERS:
+        ids = np.sort(np.concatenate(
+            [b["keeper_id"].to_numpy() for b in
+             keepers.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        base = broadcast_semi_filter(docs, "doc_id", ids.tolist())
+    else:
+        base = keyed_membership_filter(
+            docs, "doc_id", keepers, keys_col="keeper_id")
+
+    # 2. boilerplate-line removal, threshold relative to the SURVIVOR
+    #    count (== the url-family count, known from the tiny aggregate)
+    thr = int(np.ceil(_FREQ_FRACTION * n_keep))
+    clean = remove_frequent_lines(base, thr)
+
+    # 3. PII mask + 4. length floor
+    def scrub_and_filter(t: pa.Table) -> pa.Table:
+        raw = _augment_with_pii(
+            pa.table({"doc_id": t["doc_id"], "text": t["clean_text"]}))
+        out = raw
+        for pat, rep in ((_EMAIL_RE, "[EMAIL]"), (_PHONE_RE, "[PHONE]"),
+                         (_IP_RE, "[IP]")):
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=rep)
+        keep = pc.greater_equal(pc.utf8_length(out), _MIN_FINAL_CHARS)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "final_text": out,
+        }).filter(keep)
+
+    survivors = clean.map_batches(scrub_and_filter, batch_format="pyarrow")
+
+    # 5. exact keep-first on the content hash
+    def hash_stage(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "content_hash": pa.array(
+                md5_hex(t["final_text"].to_pylist()), pa.string()),
+            "final_text": t["final_text"],
+        })
+
+    hashed = survivors.map_batches(hash_stage, batch_format="pyarrow")
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        out = df.drop_duplicates("content_hash", keep="first")
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "content_hash": out["content_hash"],
+            "final_text": out["final_text"],
+        })
+
+    return grouped_apply(hashed, ["content_hash"], keep_min,
+                         empty_result=pa.table({
+                             "doc_id": pa.array([], pa.int64()),
+                             "content_hash": pa.array([], pa.string()),
+                             "final_text": pa.array([], pa.string())}))
+
+
+register(
+    "curation_pipeline",
+    curation_pipeline,
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             doc_id % 97 AS url_key,
+             (doc_id * 37) % 100000 AS warc_off
+      FROM documents),
+    keepers AS (
+      SELECT MAX(warc_off * 10000000 + doc_id) % 10000000 AS doc_id
+      FROM keyed GROUP BY url_key),
+    base AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+    pages AS (
+      SELECT doc_id,
+             '{_NAV}' || chr(10) ||
+             'sec ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             text || chr(10) ||
+             'tag ' || CAST(doc_id % 11 AS VARCHAR) || chr(10) ||
+             '{_FOOTER}' AS page
+      FROM base),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(page, chr(10))) AS line,
+             unnest(range(len(string_split(page, chr(10))))) AS ln
+      FROM pages),
+    freq AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(*) >= {_FREQ_FRACTION} * (SELECT COUNT(*) FROM base)),
+    kept AS (
+      SELECT doc_id, line, ln FROM lines
+      WHERE line NOT IN (SELECT line FROM freq)),
+    clean AS (
+      SELECT p.doc_id, COALESCE(a.ct, '') AS clean_text
+      FROM pages p LEFT JOIN (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS ct
+        FROM kept GROUP BY doc_id) a USING (doc_id)),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+                 clean_text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.org or +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' from 10.0.'
+                     || CAST((doc_id // 256) % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id % 256 AS VARCHAR),
+                 '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g'),
+                 '{_IP_RE}', '[IP]', 'g') AS final_text
+      FROM clean),
+    filtered AS (
+      SELECT * FROM scrubbed WHERE length(final_text) >= {_MIN_FINAL_CHARS})
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           md5(final_text) AS content_hash,
+           final_text
+    FROM filtered GROUP BY final_text
     """,
 )

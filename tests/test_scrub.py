@@ -91,3 +91,20 @@ def test_boilerplate_blocking_invariant(ray_session):
         finally:
             s._read_docs = orig
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_curation_pipeline_stages_visible(registry):
+    out = (registry["curation_pipeline"](SF_DIR).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # stage 1: only url-family keepers survive (97 families at 500 docs)
+    assert 0 < len(out) <= 97
+    for txt in out["final_text"]:
+        # stage 2: boilerplate nav/footer/sec dropped, tag kept
+        assert "home | about" not in txt and "copyright" not in txt
+        assert "\ntag " in txt
+        # stage 3: PII masked
+        assert txt.endswith("contact [EMAIL] or [PHONE] from [IP]")
+        # stage 4: length floor
+        assert len(txt) >= 250
+    # stage 5: content hashes unique after keep-first
+    assert out["content_hash"].is_unique
