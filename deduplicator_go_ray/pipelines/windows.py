@@ -169,3 +169,87 @@ register(
     FROM events p WHERE p.event_type = 'purchase'
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# hopping-window aggregate: 1 h windows advancing every 15 min
+# --------------------------------------------------------------------------
+
+_HOP_MIN = 15
+_WINDOW_HOPS = 4   # window length = 4 hops = 60 min
+
+
+def hopping_window_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Overlapping (hopping) time-window aggregate — the windowed-
+    aggregate slot of the task brief that a tumbling rollup
+    (``events_daily``) doesn't cover: every event belongs to
+    ``_WINDOW_HOPS`` windows, so the kernel is a fan-out (flat-map
+    shape) followed by the map-side-combine groupby.
+
+    Scale plan: the per-batch kernel replicates rows ``_WINDOW_HOPS``×
+    and immediately pre-aggregates per (event_type, window_start), so
+    the shuffle moves per-batch partials (O(types × windows-per-batch)
+    skinny rows), never the fanned-out events.  Hop divides the window
+    exactly, so membership needs no filter: the windows containing an
+    event are bucket(ts) − k·hop for k in 0..3.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"])
+
+    hop = pd.Timedelta(minutes=_HOP_MIN)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_pandas()
+        bucket = ts.dt.floor(f"{_HOP_MIN}min")
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "value_cents": np.rint(np.asarray(
+                t["value"], dtype=np.float64) * 100).astype(np.int64),
+        })
+        parts = []
+        for k in range(_WINDOW_HOPS):
+            p = df.copy()
+            p["window_start"] = bucket - k * hop
+            parts.append(p)
+        g = (pd.concat(parts, ignore_index=True)
+             .groupby(["event_type", "window_start"], sort=False)
+             .agg(cnt=("value_cents", "size"),
+                  sum_value_cents=("value_cents", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ev.map_batches(fan_out, batch_format="pyarrow")
+             .groupby(["event_type", "window_start"])
+             .aggregate(Sum("cnt", alias_name="cnt"),
+                        Sum("sum_value_cents", alias_name="sum_value_cents")))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+            "sum_value_cents": pc.cast(t["sum_value_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+register(
+    "hopping_window_counts",
+    hopping_window_counts,
+    f"""
+    SELECT event_type,
+           time_bucket(INTERVAL '{_HOP_MIN} minutes', ts)
+               - k * INTERVAL '{_HOP_MIN} minutes' AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    CROSS JOIN (SELECT unnest(range({_WINDOW_HOPS})) AS k)
+    GROUP BY 1, 2
+    """,
+)

@@ -164,3 +164,19 @@ def test_lcs_kernel():
     b = "other lead " + run + " different end"
     assert lcs_length(a, b) >= len(run)
     assert lcs_length("abc", "xyz") == 0
+
+
+def test_hopping_window_fanout_law(registry):
+    import duckdb
+
+    from deduplicator_go_ray.pipelines.windows import (
+        _HOP_MIN, _WINDOW_HOPS)
+
+    out = registry["hopping_window_counts"](SF_DIR).to_pandas()
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'").fetchone()[0]
+    # every event lands in exactly _WINDOW_HOPS windows
+    assert out["cnt"].sum() == _WINDOW_HOPS * n_events
+    # window starts are hop-aligned
+    assert (out["window_start"].dt.minute % _HOP_MIN == 0).all()
+    assert (out["window_start"].dt.second == 0).all()
