@@ -35,6 +35,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..stages.common import grouped_apply
@@ -588,5 +589,106 @@ register(
                  (doc_id * 37) % {_TS_MOD} AS warc_off
           FROM documents)
     GROUP BY url_key
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# grouped top-k: k longest docs per lang (window-function shape)
+# --------------------------------------------------------------------------
+
+_TOPK_PER_GROUP = 3
+
+
+def topk_per_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Top-``k`` longest documents per language — the grouped-top-k /
+    window-function shape (`row_number() OVER (PARTITION BY ...)`).
+    One hash shuffle on ``lang``; the rank is a vectorized
+    sort + cumcount per partition, deterministic via the (n_chars desc,
+    doc_id asc) total order.  The per-group k bounds each partition's
+    output, so the result is tiny regardless of corpus size."""
+    docs = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rk"] = df.groupby("lang", sort=False).cumcount() + 1
+        out = df[df["rk"] <= _TOPK_PER_GROUP]
+        return pd.DataFrame({
+            "lang": out["lang"],
+            "doc_id": out["doc_id"].astype("int64"),
+            "n_chars": out["n_chars"].astype("int64"),
+            "rk": out["rk"].astype("int64"),
+        })
+
+    return grouped_apply(docs, ["lang"], topk, num_partitions=8,
+                         empty_result=pa.table({
+                             "lang": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64())}))
+
+
+register(
+    "topk_per_lang",
+    topk_per_lang,
+    f"""
+    SELECT lang, doc_id, n_chars, rk FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (
+                 PARTITION BY lang ORDER BY n_chars DESC, doc_id
+             ) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= {_TOPK_PER_GROUP}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary: global top-k words (map-side combine + small sort)
+# --------------------------------------------------------------------------
+
+_TOP_WORDS = 20
+
+
+def top_words(sf_dir: str) -> "ray.data.Dataset":
+    """Global top-``k`` most frequent words — corpus vocabulary stats.
+
+    Per-batch ``value_counts`` partials (map-side combiner: only
+    (word, count) rows leave the worker, never text), skinny
+    ``groupby(word).Sum``, then a global sort+limit over the distinct
+    vocabulary (bounded; at 100 TB the vocabulary is a DF-capped
+    fraction of the corpus, and the sort input is the aggregate, not
+    the rows).  Deterministic tiebreak: count desc, word asc."""
+    docs = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pandas(), copy=False)
+        words = s.str.split(" ").explode()
+        words = words[words != ""]
+        vc = words.value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(), pa.string()),
+                         "cnt": pa.array(vc.to_numpy(), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby("word").aggregate(Sum("cnt", alias_name="cnt")))
+    out = agg.sort(["cnt", "word"], descending=[True, False]).limit(_TOP_WORDS)
+    return out.map_batches(
+        lambda t: pa.table({"word": t["word"],
+                            "cnt": pc.cast(t["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+register(
+    "top_words",
+    top_words,
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM words WHERE word <> ''
+    GROUP BY word ORDER BY cnt DESC, word LIMIT {_TOP_WORDS}
     """,
 )

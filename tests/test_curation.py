@@ -173,3 +173,27 @@ def test_url_dedup_latest_partition_invariant(ray_session):
         finally:
             c._read_docs = orig
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_topk_per_lang_rank_law(registry):
+    out = registry["topk_per_lang"](SF_DIR).to_pandas()
+    for _, g in out.groupby("lang"):
+        g = g.sort_values("rk")
+        assert list(g["rk"]) == list(range(1, len(g) + 1))
+        assert g["n_chars"].is_monotonic_decreasing or len(g) == 1
+        assert len(g) <= 3
+
+
+def test_top_words_counts_total(registry):
+    import duckdb
+
+    out = registry["top_words"](SF_DIR).to_pandas()
+    assert len(out) == 20
+    assert out["cnt"].is_monotonic_decreasing or out["cnt"].nunique() < 20
+    # spot-check the champion against a direct count
+    w = out.iloc[0]["word"]
+    truth = duckdb.sql(
+        f"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+            FROM '{SF_DIR}/documents.parquet')
+            SELECT COUNT(*) FROM words WHERE w = '{w}'""").fetchone()[0]
+    assert out.iloc[0]["cnt"] == truth
