@@ -256,6 +256,26 @@ def run_dedup(
 
     n_reps = sigs.count()
     timer.note("n_reps", n_reps)
+
+    # Speculatively launch the shared verify-index builds NOW (sigs and
+    # reps are materialized) so the single 1-cpu gather+sort tasks
+    # overlap the candidate shuffle instead of serializing after it —
+    # they were the worst-scaling phases of the N-vs-4N profile (near
+    # flat 1.5×/1.4× at 4→16 cpus vs 2.6-3.4× elsewhere).  Only the
+    # direct-refs plan can use a url-keyed prebuilt index; the flood
+    # path drops the refs and plasma reclaims the objects.
+    direct_plan = (cfg.uid_bits == 64
+                   and n_reps * cfg.minhash.num_perms * 8
+                   <= cfg.verify_direct_max_bytes)
+    near_idx_ref = cont_idx_ref = None
+    if direct_plan and n_reps:
+        from ..stages.buckets import prebuild_direct_index
+
+        near_idx_ref = prebuild_direct_index(
+            sigs, "minhash", cfg.minhash.num_perms)
+        if cfg.run_substring_pass:
+            cont_idx_ref = prebuild_direct_index(reps, "text")
+
     hot = None
     if n_reps * cfg.minhash.bands >= cfg.presalt_min_band_rows:
         hot = sampled_hot_band_keys(sigs, cfg.minhash, cfg.lsh)
@@ -314,15 +334,15 @@ def run_dedup(
             # matrix under verify_direct_max_bytes, score against the
             # already-materialized sigs/reps block refs — two fewer
             # executions (no semi-filter pass, no serial endpoint pull)
-            direct = (cfg.uid_bits == 64
-                      and n_reps * cfg.minhash.num_perms * 8
-                      <= cfg.verify_direct_max_bytes)
+            direct = direct_plan and n_reps > 0
             edge_sets = [verify_near_edges(near_cand, sigs, cfg.minhash,
-                                           direct_refs=direct)]
+                                           direct_refs=direct,
+                                           prebuilt=near_idx_ref)]
             if cfg.run_substring_pass:
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
                 edge_sets.append(verify_containment_edges(
-                    sub_cand, reps, direct_refs=direct))
+                    sub_cand, reps, direct_refs=direct,
+                    prebuilt=cont_idx_ref))
         if timer.on and len(edge_sets) > 1:
             # phase-timing mode: materialize each edge set separately so
             # the [phase] trace attributes near-verify vs containment

@@ -379,6 +379,25 @@ def _build_sorted_index(refs: tuple, payload: str, num_perms: int | None,
     return uid[order], order, pay
 
 
+def prebuild_direct_index(ds: "ray.data.Dataset", payload: str,
+                          num_perms: int | None = None):
+    """Speculatively launch the shared verify-index build task over an
+    already-materialized dataset's block refs, returning the ObjectRef.
+
+    The build is a single 1-cpu task (gather + argsort + one contiguous
+    payload copy) that otherwise sits on the critical path between the
+    candidate shuffle and verification; launching it as soon as the
+    sigs/reps tables materialize overlaps it with candidate generation.
+    If the flood (partitioned) verify plan is chosen instead, the ref is
+    simply dropped and plasma reclaims the object."""
+    import ray as _ray
+
+    from .lsh import block_refs_of
+
+    build = _ray.remote(num_cpus=1)(_build_sorted_index)
+    return build.remote(tuple(block_refs_of(ds)), payload, num_perms, "url")
+
+
 def _shared_index(ref):
     """Per-worker zero-copy view of a prebuilt index ObjectRef."""
     import ray as _ray
@@ -404,6 +423,7 @@ def verify_near_edges(
     sigs: "ray.data.Dataset",
     cfg: MinHashConfig,
     direct_refs: bool = False,
+    prebuilt=None,
 ) -> "ray.data.Dataset":
     """Signature-Jaccard verification of uid edges.
 
@@ -452,6 +472,8 @@ def verify_near_edges(
 
     build = _ray.remote(num_cpus=1)(_build_sorted_index)
     if direct_refs:
+        if prebuilt is not None:
+            return scored(prebuilt)
         refs = tuple(block_refs_of(sigs))
         return scored(build.remote(refs, "minhash", P, "url"))
 
@@ -490,6 +512,7 @@ def verify_containment_edges(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
     direct_refs: bool = False,
+    prebuilt=None,
 ) -> "ray.data.Dataset":
     """Exact-substring verification of uid (short, long) candidate
     pairs — same plan structure as :func:`verify_near_edges`: a shared
@@ -505,14 +528,15 @@ def verify_containment_edges(
             uid_s, order, txt = _shared_index(idx_ref)
             iu = _searchsorted_indexer(uid_s, uid_np(batch["u"]))
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"]))
-            keep = []
-            for a, b in zip(iu, iv):
-                if a < 0 or b < 0:
-                    keep.append(False)
-                    continue
-                ta = txt[int(order[a])].as_py()
-                tb = txt[int(order[b])].as_py()
-                keep.append(bool(ta) and bool(tb) and (ta in tb))
+            ok = (iu >= 0) & (iv >= 0)
+            keep = np.zeros(len(batch), dtype=bool)
+            if ok.any():
+                # bulk take+to_pylist: one Arrow→Python conversion per
+                # batch instead of a per-element .as_py() round-trip
+                ta = txt.take(pa.array(order[iu[ok]])).to_pylist()
+                tb = txt.take(pa.array(order[iv[ok]])).to_pylist()
+                keep[ok] = [bool(a) and bool(b) and (a in b)
+                            for a, b in zip(ta, tb)]
             m = pa.array(keep)
             return pa.table({"u": batch["u"].filter(m),
                              "v": batch["v"].filter(m),
@@ -522,6 +546,8 @@ def verify_containment_edges(
 
     build = _ray.remote(num_cpus=1)(_build_sorted_index)
     if direct_refs:
+        if prebuilt is not None:
+            return checked(prebuilt)
         refs = tuple(block_refs_of(texts))
         return checked(build.remote(refs, "text", None, "url"))
 
