@@ -279,6 +279,8 @@ def run_dedup(
     hot = None
     if n_reps * cfg.minhash.bands >= cfg.presalt_min_band_rows:
         hot = sampled_hot_band_keys(sigs, cfg.minhash, cfg.lsh)
+    if timer.on:
+        timer.tick("hot_precount")
     buckets = bucket_rows(sigs, cfg.minhash,
                           cfg.simhash if cfg.run_simhash else None,
                           with_anchors=cfg.run_substring_pass,

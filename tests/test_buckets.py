@@ -110,3 +110,31 @@ def test_uid_stability():
     b = uid_of_urls(["x", "y", "z"])
     assert np.array_equal(a, b)
     assert len(set(a.tolist())) == 3
+
+
+def test_prebuilt_index_verify_equals_inline_plans(small_sigs):
+    """The speculative prebuilt verify index (launched early to overlap
+    the candidate shuffle) must yield edge sets identical to both the
+    inline direct-refs build and the semi-filtered plan."""
+    from deduplicator_go_ray.stages.buckets import prebuild_direct_index
+
+    rows = bucket_rows(small_sigs, MinHashConfig(), SimHashConfig(),
+                       with_anchors=True)
+    edges = (candidate_edges_fused(rows, LSHConfig(), 3)
+             .filter(expr=f"kind != {KIND_ANCHOR}").materialize())
+    cfg = MinHashConfig()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return (df.assign(a=np.minimum(df.u, df.v), b=np.maximum(df.u, df.v))
+                [["a", "b"]].drop_duplicates()
+                .sort_values(["a", "b"]).reset_index(drop=True))
+
+    pre = prebuild_direct_index(small_sigs, "minhash", cfg.num_perms)
+    via_prebuilt = canon(verify_near_edges(
+        edges, small_sigs, cfg, direct_refs=True, prebuilt=pre))
+    via_direct = canon(verify_near_edges(
+        edges, small_sigs, cfg, direct_refs=True))
+    via_semi = canon(verify_near_edges(edges, small_sigs, cfg))
+    pd.testing.assert_frame_equal(via_prebuilt, via_direct)
+    pd.testing.assert_frame_equal(via_prebuilt, via_semi)
