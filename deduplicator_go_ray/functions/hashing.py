@@ -188,6 +188,65 @@ def rolling_hashes(data: bytes, k: int, base: int = _ROLL_BASE) -> np.ndarray:
     return mix64(pows[k - 1 :] * diff)
 
 
+_ROLL_CHUNK_BYTES = 2 << 20  # per-pass cap: power tables + prefix sums stay cache-resident
+
+
+def rolling_hashes_many(datas: list[bytes], k: int,
+                        base: int = _ROLL_BASE) -> list[np.ndarray]:
+    """Batched :func:`rolling_hashes`: one prefix-sum pass over the
+    concatenated byte buffers instead of one numpy call chain per doc
+    (the per-doc dispatch overhead dominated the signature kernel at
+    ~3 s per 15k-doc batch).
+
+    Bit-identical to the per-doc function: for a doc starting at global
+    offset ``s``, the global window product is
+    ``pows[s+i+k-1] * (T[s+i+k-1] - T[s+i-1])
+      = pows[s]*invpows[s] * pows[i+k-1] * diff_local
+      = pows[i+k-1] * diff_local`` (mod 2^64, base odd so
+    ``pows[s]*invpows[s] == 1``) — exactly the per-doc value.  Windows
+    never cross doc boundaries (each doc's windows are sliced from its
+    own byte range).  Docs are greedily grouped into ~2 MiB passes so
+    the power tables and prefix sums stay cache-resident (same
+    chunking rationale as ``hash64_str``)."""
+    out: list[np.ndarray | None] = [None] * len(datas)
+    group: list[int] = []
+    group_bytes = 0
+
+    def flush():
+        nonlocal group, group_bytes
+        if not group:
+            return
+        bufs = [datas[i] for i in group]
+        arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+        total = arr.size
+        if total < k:
+            for i in group:
+                out[i] = np.empty(0, dtype=np.uint64)
+            group, group_bytes = [], 0
+            return
+        pows, invpows = _power_tables(base, total)
+        t = np.cumsum(arr * invpows[:total], dtype=np.uint64)
+        diff = t[k - 1:].copy()
+        diff[1:] -= t[: total - k]
+        h_all = mix64(pows[k - 1: total] * diff)  # window at global pos i
+        s = 0
+        for i in group:
+            n = len(datas[i])
+            cnt = n - k + 1
+            out[i] = (h_all[s: s + cnt].copy() if cnt > 0
+                      else np.empty(0, dtype=np.uint64))
+            s += n
+        group, group_bytes = [], 0
+
+    for i, d in enumerate(datas):
+        group.append(i)
+        group_bytes += len(d)
+        if group_bytes >= _ROLL_CHUNK_BYTES:
+            flush()
+    flush()
+    return out  # type: ignore[return-value]
+
+
 def combine64(parts: np.ndarray, axis: int = -1) -> np.ndarray:
     """Order-dependent fold of uint64 values along `axis` into one u64.
 

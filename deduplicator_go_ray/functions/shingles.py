@@ -39,15 +39,31 @@ def word_tokens_u64(text: str, seed: int = 0) -> np.ndarray:
     crc32 (C-speed) per token, widened by length+seed and mixed to 64
     bits — deterministic across processes (unlike builtin ``hash``).
     """
-    toks = _WORD_RE.findall(text.lower())
-    if not toks:
-        return np.empty(0, dtype=np.uint64)
+    flat, lengths = word_tokens_u64_many([text], seed=seed)
+    return flat
+
+
+def word_tokens_u64_many(texts: list[str],
+                         seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`word_tokens_u64` over many texts.
+
+    Returns (flat concatenated hashes, per-text lengths).  Bit-identical
+    to the per-text function — same crc32+len+seed → mix64 per token —
+    but pays ONE fromiter/mix64 pass for the whole batch instead of one
+    per document (the per-doc numpy call dispatch dominated the SimHash
+    tokenizer at ~6 s per 15k-doc batch)."""
+    tok_lists = [_WORD_RE.findall(t.lower()) for t in texts]
+    lengths = np.array([len(l) for l in tok_lists], dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), lengths
     s = np.uint64(seed)
     raw = np.fromiter(
-        (crc32(t.encode("utf-8")) for t in toks), dtype=np.uint64, count=len(toks)
-    )
-    lens = np.fromiter((len(t) for t in toks), dtype=np.uint64, count=len(toks))
-    return mix64(raw + (lens << np.uint64(32)) + s)
+        (crc32(t.encode("utf-8")) for l in tok_lists for t in l),
+        dtype=np.uint64, count=total)
+    lens = np.fromiter(
+        (len(t) for l in tok_lists for t in l), dtype=np.uint64, count=total)
+    return mix64(raw + (lens << np.uint64(32)) + s), lengths
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -105,3 +105,43 @@ def test_hash64_chunking_invisible(strings, chunk_bytes):
     finally:
         hashing._HASH_CHUNK_BYTES = old
     assert np.array_equal(ref, got)
+
+
+@SMALL
+@given(st.lists(st.binary(max_size=120), min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=24),
+       st.integers(min_value=8, max_value=300))
+def test_rolling_hashes_many_equals_per_doc(datas, k, chunk_bytes):
+    """The batched rolling-hash pass (global prefix sums over the
+    concatenated buffers, chunked for cache residency) must be
+    bit-identical to the per-doc function for every doc, any chunking."""
+    from deduplicator_go_ray.functions import hashing
+
+    old = hashing._ROLL_CHUNK_BYTES
+    try:
+        hashing._ROLL_CHUNK_BYTES = chunk_bytes
+        many = hashing.rolling_hashes_many(datas, k)
+    finally:
+        hashing._ROLL_CHUNK_BYTES = old
+    for d, m in zip(datas, many):
+        assert np.array_equal(m, rolling_hashes(d, k))
+
+
+@SMALL
+@given(st.lists(st.integers(min_value=1, max_value=600),
+                min_size=1, max_size=20),
+       st.integers(min_value=0, max_value=2**32))
+def test_simhash_bit_sums_equals_unpackbits(lengths, seed):
+    """The SWAR lane-packed segment sum must equal the naive
+    unpackbits + reduceat per-bit column sums, including segments
+    longer than the 255-token lane cap."""
+    from deduplicator_go_ray.stages.signatures import simhash_bit_sums
+
+    rng = np.random.default_rng(seed)
+    lens = np.asarray(lengths, dtype=np.int64)
+    flat = rng.integers(0, 2**63, int(lens.sum()), dtype=np.int64).view(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    naive = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    assert np.array_equal(naive, simhash_bit_sums(flat, lens))
