@@ -43,6 +43,10 @@ KIND_BAND = 0
 KIND_SIMHASH = 1
 KIND_ANCHOR = 2
 
+# byte-wise popcount lookup — Hamming distance of uint64 xors in one
+# gather+sum instead of a 64-pass shift/mask/add loop
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
 
 def uid_of_urls(urls, bits: int = 64) -> np.ndarray:
     """Doc uid from the url; accepts a list[str] or a pyarrow
@@ -883,25 +887,39 @@ def candidate_edges_fused(
                     "kind": np.full(u.size, KIND_BAND, dtype=np.int8)}))
 
         # ---- kind 1: simhash chunks — Hamming-verified pairs -------------
+        # vectorized across buckets by size class (the same per-size
+        # triu pattern as the n-gram pair emission): same-size buckets
+        # stack into (m, s) matrices, pairwise XOR + LUT popcount run
+        # over every bucket of that size at once — no per-key Python
+        # loop, no 64-pass bit count.  Emits the identical edge set.
         sim = df[df["kind"] == KIND_SIMHASH]
         if len(sim):
             sim = sim.drop_duplicates(["key", "uid"])
             cnt = sim.groupby("key")["uid"].transform("size")
             sim = sim[(cnt > 1) & (cnt <= sim_group_cap)]
-            for _, g in sim.groupby("key", sort=False):
-                uids = g["uid"].to_numpy()
-                order = np.argsort(uids, kind="stable")
-                uids = uids[order]
-                sh = g["payload"].to_numpy()[order].view(np.uint64)
-                xor = sh[:, None] ^ sh[None, :]
-                hd = np.zeros_like(xor, dtype=np.int64)
-                for s in range(64):
-                    hd += ((xor >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
-                iu, jv = np.nonzero(np.triu(hd <= simhash_hamming, k=1))
-                if iu.size:
+            sim = sim.sort_values(["key", "uid"], kind="mergesort")
+            k = sim["key"].to_numpy()
+            uids_all = sim["uid"].to_numpy()
+            sh_all = sim["payload"].to_numpy().view(np.uint64)
+            gstarts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            gsizes = np.diff(np.r_[gstarts, k.size])
+            for s in np.unique(gsizes):
+                sel = gstarts[gsizes == s]
+                idx = sel[:, None] + np.arange(s)[None, :]      # (m, s)
+                uids = uids_all[idx]
+                sh = sh_all[idx]
+                iu, jv = np.triu_indices(int(s), 1)
+                # ascontiguousarray: the xor ufunc may emit F-order
+                # from fancy-indexed inputs; the uint8 view needs C
+                xor = np.ascontiguousarray(sh[:, iu] ^ sh[:, jv])
+                hd = _POPCNT8[xor.view(np.uint8)].reshape(
+                    xor.shape + (8,)).sum(axis=-1, dtype=np.int64)
+                keep = hd <= simhash_hamming
+                if keep.any():
                     outs.append(pd.DataFrame({
-                        "u": uids[iu], "v": uids[jv],
-                        "kind": np.full(iu.size, KIND_SIMHASH, dtype=np.int8)}))
+                        "u": uids[:, iu][keep], "v": uids[:, jv][keep],
+                        "kind": np.full(int(keep.sum()), KIND_SIMHASH,
+                                        dtype=np.int8)}))
 
         # ---- kind 2: anchors — shorts × longs ----------------------------
         anc = df[df["kind"] == KIND_ANCHOR]

@@ -138,3 +138,49 @@ def test_prebuilt_index_verify_equals_inline_plans(small_sigs):
     via_semi = canon(verify_near_edges(edges, small_sigs, cfg))
     pd.testing.assert_frame_equal(via_prebuilt, via_direct)
     pd.testing.assert_frame_equal(via_prebuilt, via_semi)
+
+
+def test_simhash_pair_emission_equals_naive(ray_session):
+    """The size-class-vectorized SimHash pair emission (LUT popcount,
+    no per-key loop) must produce the exact edge set of the naive
+    per-key 64-shift Hamming loop on dense random buckets."""
+    import ray.data
+
+    from deduplicator_go_ray.stages.buckets import (KIND_SIMHASH,
+                                                    candidate_edges_fused)
+
+    rng = np.random.default_rng(4)
+    n, thr = 3000, 6
+    base = rng.integers(0, 2**63, 40, dtype=np.int64)
+    pay = base[rng.integers(0, 40, n)].view(np.uint64)
+    flips = ((np.uint64(1) << rng.integers(0, 64, n).astype(np.uint64))
+             * (rng.random(n) < 0.7))
+    tbl = pa.table({
+        "key": pa.array(rng.integers(0, 150, n), pa.int64()),
+        "kind": pa.array(np.full(n, KIND_SIMHASH, np.int8), pa.int8()),
+        "uid": pa.array(rng.permutation(n).astype(np.int64), pa.int64()),
+        "payload": pa.array((pay ^ flips.astype(np.uint64)).view(np.int64),
+                            pa.int64()),
+        "flag": pa.array(np.zeros(n, bool), pa.bool_()),
+    })
+    got = candidate_edges_fused(ray.data.from_arrow(tbl), LSHConfig(),
+                                thr).to_pandas()
+    got_set = set(zip(got["u"].tolist(), got["v"].tolist()))
+
+    df = tbl.to_pandas().drop_duplicates(["key", "uid"])
+    cnt = df.groupby("key")["uid"].transform("size")
+    df = df[(cnt > 1) & (cnt <= 512)]
+    exp = set()
+    for _, g in df.groupby("key", sort=False):
+        uids = g["uid"].to_numpy()
+        order = np.argsort(uids, kind="stable")
+        uids = uids[order]
+        sh = g["payload"].to_numpy()[order].view(np.uint64)
+        xor = sh[:, None] ^ sh[None, :]
+        hd = np.zeros_like(xor, dtype=np.int64)
+        for s in range(64):
+            hd += ((xor >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+        iu, jv = np.nonzero(np.triu(hd <= thr, k=1))
+        exp |= set(zip(uids[iu].tolist(), uids[jv].tolist()))
+    assert len(exp) > 500          # dense enough to be a real check
+    assert got_set == exp
