@@ -3,8 +3,9 @@ ratios, quality scoring, language ID and document fingerprints.
 
 These extend the engine beyond the reference's operator set toward what a
 large-scale training-data pipeline needs (task brief).  SQL-expressible
-stats carry a DuckDB oracle; heuristic ops (language ID, BPE-ish token
-count, fingerprints) are rows-only and verified in tests/.
+stats carry a DuckDB oracle — including the rolling-hash fingerprint,
+re-derived in SQL via HUGEINT mod-2^64 arithmetic; heuristic ops
+(language ID) are rows-only and verified in tests/.
 
 All counting is integer end-to-end (counts / permille ratios) so value
 hashes match the oracle bit-for-bit.  The character-class kernel is
@@ -321,7 +322,99 @@ def doc_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-register("doc_fingerprints", doc_fingerprints)
+def _fingerprint_oracle_sql() -> str:
+    """DuckDB re-derivation of :func:`fingerprint64` from first
+    principles: min over 32-byte-window polynomial hashes (mod 2^64,
+    splitmix64-finalized) XOR CRC-32 of the utf-8 bytes.
+
+    Everything data-dependent is computed in SQL; only *algorithm
+    constants* are embedded as literals (the CRC-32/IEEE byte table,
+    base^0..base^31 mod 2^64, the splitmix64 multipliers) — the same
+    status as a regex pattern in the other oracles.  64×64-bit
+    multiplication mod 2^64 is done in HUGEINT by splitting the
+    constant multiplier into 32-bit halves (127-bit intermediates
+    never overflow); the splitmix64 finalizer runs as a chain of
+    single-reference CTE projections so DuckDB never duplicates
+    subexpressions.
+    """
+    base, k, m64 = 1000000007, 32, 1 << 64
+    pows = [pow(base, e, m64) for e in range(k)]
+
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+
+    def mul64(x: str, mul: int) -> str:
+        lo, hi = mul & 0xFFFFFFFF, mul >> 32
+        return (f"(({x}) * {lo}::HUGEINT + (({x}) % 4294967296) * "
+                f"{hi}::HUGEINT * 4294967296::HUGEINT) % "
+                f"18446744073709551616::HUGEINT")
+
+    pow_list = "[" + ",".join(f"{p}::HUGEINT" for p in pows) + "]"
+    crc_list = "[" + ",".join(str(c) for c in tbl) + "]"
+    mul1, mul2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    return f"""
+    WITH hx AS (
+        SELECT doc_id, upper(hex(encode(text))) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, n, p,
+               (strpos('0123456789ABCDEF', substr(h, 2*p-1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2*p,   1)) - 1) AS b
+        FROM hx, LATERAL (SELECT unnest(generate_series(1, n)) AS p) _
+        WHERE n > 0
+    ),
+    crc AS (  -- zlib crc32: init ~0, table-fold per byte, final xor ~0
+        SELECT doc_id,
+               xor(list_reduce(
+                       list_prepend(4294967295::BIGINT, list(b ORDER BY p)),
+                       (acc, x) -> xor({crc_list}[((xor(acc, x)) & 255) + 1],
+                                       acc >> 8)),
+                   4294967295::BIGINT) AS whole
+        FROM bytes GROUP BY doc_id
+    ),
+    contrib AS (  -- byte at p contributes b*base^(31-p+w) to window w
+        SELECT doc_id, w,
+               b::HUGEINT * ({pow_list})[(31 - p + w) + 1] AS c
+        FROM bytes,
+             LATERAL (SELECT unnest(generate_series(greatest(1, p - 31),
+                                                    least(n - 31, p))) AS w) _
+        WHERE n >= 32
+    ),
+    poly AS (
+        SELECT doc_id, w,
+               sum(c) % 18446744073709551616::HUGEINT AS x0
+        FROM contrib GROUP BY doc_id, w
+    ),
+    m1 AS (SELECT doc_id, xor(x0, x0 >> 30) AS x FROM poly),
+    m2 AS (SELECT doc_id, {mul64('x', mul1)} AS x FROM m1),
+    m3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m2),
+    m4 AS (SELECT doc_id, {mul64('x', mul2)} AS x FROM m3),
+    m5 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM m4),
+    minh AS (SELECT doc_id, min(x) AS mn FROM m5 GROUP BY doc_id),
+    fp AS (  -- < 32 bytes → no windows → fingerprint is the crc alone
+        SELECT d.doc_id,
+               CASE WHEN minh.mn IS NULL THEN coalesce(crc.whole, 0)::HUGEINT
+                    ELSE xor(minh.mn, crc.whole::HUGEINT) END AS u
+        FROM documents d
+        LEFT JOIN crc  USING (doc_id)
+        LEFT JOIN minh USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS fingerprint
+    FROM fp
+    """
+
+
+register("doc_fingerprints", doc_fingerprints, _fingerprint_oracle_sql())
 
 
 # --------------------------------------------------------------------------
