@@ -267,7 +267,111 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return _pairs_to_ids(edges)
 
 
-register("simhash_pairs", simhash_pairs)
+def _simhash_oracle_sql() -> str:
+    """DuckDB re-derivation of the SimHash pair query from first
+    principles: tokenize (``\\w+`` on lowercased text), hash each token
+    (crc32 + charlen·2^32 + seed → splitmix64), majority-vote the 64
+    bit positions into a signature, then emit pairs with Hamming ≤ 8
+    that share an aligned 8-bit chunk — the same pigeonhole bucket
+    condition ``simhash_edges`` (stages/lsh.py) verifies, so the two
+    paths agree exactly while buckets stay under ``group_cap`` (always
+    true at oracle scale: bucket size ≤ corpus size 500 < 512).
+
+    Only algorithm constants are embedded (CRC-32 table, splitmix64
+    multipliers); 64×64 multiplication mod 2^64 splits the constant
+    into 32-bit halves so HUGEINT intermediates never overflow.  The
+    signature CTE is MATERIALIZED — it is referenced by both sides of
+    the pair self-join, and inlining would re-derive the whole token
+    pipeline per side.
+    """
+    from ..config import SimHashConfig
+
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    crc_list = "[" + ",".join(str(c) for c in tbl) + "]"
+
+    def mul64(x: str, mul: int) -> str:
+        lo, hi = mul & 0xFFFFFFFF, mul >> 32
+        return (f"(({x}) * {lo}::HUGEINT + (({x}) % 4294967296) * "
+                f"{hi}::HUGEINT * 4294967296::HUGEINT) % "
+                f"18446744073709551616::HUGEINT")
+
+    mul1, mul2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    seed = SimHashConfig().seed
+    # Python re's unicode \\w for RE2: letters, marks, digits, underscore
+    word = r"[\p{L}\p{M}\p{N}_]+"
+    chunk_free = " OR ".join(f"((x >> {8 * c}) & 255) = 0" for c in range(8))
+
+    return f"""
+    WITH sigs AS MATERIALIZED (
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+                                        '{word}')) AS tok) t
+        ),
+        tb AS (
+            SELECT doc_id, length(tok) AS clen,
+                   list_transform(generate_series(1, octet_length(encode(tok))),
+                     p -> (strpos('0123456789ABCDEF',
+                                  substr(upper(hex(encode(tok))), 2*p-1, 1)) - 1) * 16
+                        + (strpos('0123456789ABCDEF',
+                                  substr(upper(hex(encode(tok))), 2*p,   1)) - 1)) AS bs
+            FROM toks
+        ),
+        tcrc AS (
+            SELECT doc_id, clen,
+                   xor(list_reduce(list_prepend(4294967295::BIGINT, bs),
+                           (acc, x) -> xor({crc_list}[((xor(acc, x)) & 255) + 1],
+                                           acc >> 8)),
+                       4294967295::BIGINT) AS crc
+            FROM tb
+        ),
+        h0 AS (
+            SELECT doc_id,
+                   (crc::HUGEINT + clen::HUGEINT * 4294967296::HUGEINT + {seed})
+                     % 18446744073709551616::HUGEINT AS x0
+            FROM tcrc
+        ),
+        m1 AS (SELECT doc_id, xor(x0, x0 >> 30) AS x FROM h0),
+        m2 AS (SELECT doc_id, {mul64('x', mul1)} AS x FROM m1),
+        m3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m2),
+        m4 AS (SELECT doc_id, {mul64('x', mul2)} AS x FROM m3),
+        m5 AS (SELECT doc_id, xor(x, x >> 31) AS h FROM m4),
+        bits AS (
+            SELECT doc_id, j, sum(((h >> j) & 1)::BIGINT) AS cnt,
+                   count(*) AS n
+            FROM m5, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) _
+            GROUP BY doc_id, j
+        ),
+        sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 2*cnt > n THEN (1::HUGEINT << j)
+                            ELSE 0::HUGEINT END) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        -- eligibility ≙ n_shingles > 0 (non-empty text); tokenless
+        -- documents keep signature 0
+        SELECT d.doc_id, coalesce(sh.simhash, 0::HUGEINT) AS simhash
+        FROM documents d LEFT JOIN sh USING (doc_id)
+        WHERE octet_length(encode(d.text)) > 0
+    ),
+    px AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               xor(a.simhash, b.simhash) AS x
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b
+    FROM px
+    WHERE bit_count(x) <= 8 AND ({chunk_free})
+    """
+
+
+register("simhash_pairs", simhash_pairs, _simhash_oracle_sql())
 
 
 # --------------------------------------------------------------------------
