@@ -252,7 +252,161 @@ def minhash_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     return _pairs_to_ids(verified)
 
 
-register("minhash_lsh_pairs", minhash_lsh_pairs)
+def _minhash_oracle_sql() -> str:
+    """DuckDB re-derivation of the full MinHash-LSH pair pipeline from
+    first principles, one SQL statement:
+
+    1. char shingles: 9-byte rolling polynomial hashes mod 2^64
+       (splitmix64-finalized); documents shorter than 9 bytes fall back
+       to ``hash64_str(text, seed=1)`` exactly like ``SignatureStage``.
+    2. one-permutation hashing: bucket = top-7 hash bits, per-(doc,
+       bucket) minimum; empty buckets borrow from the nearest occupied
+       bucket circularly to the right, salted by distance (rotation
+       densification) — the doubled-index-space scan becomes a reverse
+       window ``min`` over 256 rows per doc.
+    3. band keys: the 8 slots of each of the 16 bands fold through
+       ``acc = mix64(acc·GOLDEN + slot + pos)`` (unrolled as 8 chained
+       mix64 CTE blocks), then ``mix64(acc + 2·band_idx)``.
+    4. candidate edges: per band bucket ordered by doc id, consecutive
+       *chain* edges plus a *star* from the bucket minimum to members
+       at index ≥ 2 — the same bounded emission ``candidate_edges``
+       (stages/lsh.py) produces.  Hot-band salting never engages at
+       oracle scale (bucket size ≤ corpus size 500 < group_cap 512).
+    5. verification: estimated Jaccard = equal-slot fraction of the two
+       128-slot signatures; ``k/128 ≥ 0.80`` is integer-exact as
+       ``k ≥ 103``.
+
+    Stage-by-stage bit-equality against the numpy kernels (signature
+    matrix, band keys, edge set, verified pairs) was established on the
+    sf0.01 corpus; multi-referenced CTEs are MATERIALIZED so DuckDB
+    does not re-derive the signature pipeline per join side.
+    """
+    from ..functions.sqlgen import (GOLDEN, U64_MOD, bytes_cte, mix64_ctes,
+                                    mul64_const, pow_list_sql)
+
+    cfg = MinHashConfig()
+    k, perms, rows = cfg.shingle_k, cfg.num_perms, cfg.rows
+    shift = 64 - perms.bit_length() + 1          # OPH bucket = h >> shift
+    pow_list = pow_list_sql(1000000007, k)
+    sd1 = (GOLDEN + 0xA5A5A5A5A5A5A5A5) % (1 << 64)   # hash64_str seed=1
+    min_eq = next(n for n in range(perms + 1)
+                  if n / perms >= cfg.verify_threshold)
+
+    # band fold: acc_{r+1} = mix64(acc_r · GOLDEN + s_r + (r+1)), acc_0 = 0
+    fold_parts = []
+    prev = "bandp"
+    for r in range(rows):
+        rest = ", ".join(f"s{i}" for i in range(r + 1, rows))
+        cols = f"doc_id, b{', ' + rest if rest else ''}"
+        acc = mul64_const("x", GOLDEN) if r else "0::HUGEINT"
+        xin = f"(({acc}) + s{r} + {r + 1}) % {U64_MOD}"
+        fold_parts.append(mix64_ctes(f"f{r}_", prev, cols, xin))
+        prev = f"f{r}_5"
+    fold_sql = ",".join(fold_parts)
+
+    slot_pivot = ", ".join(
+        f"max(CASE WHEN j % {rows} = {r} THEN v END) AS s{r}"
+        for r in range(rows))
+
+    return f"""
+    WITH
+    {bytes_cte()},
+    rollp AS (  -- byte p contributes b·base^({k}-1-p+w) to window w
+        SELECT doc_id, w,
+               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
+                 % {U64_MOD} AS poly
+        FROM dbytes,
+             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
+                                                    least(n - {k - 1}, p))) AS w) _
+        WHERE n >= {k}
+        GROUP BY doc_id, w
+    ),
+    {mix64_ctes('rm', 'rollp', 'doc_id, w', 'poly')},
+    tinyp AS (  -- 0 < n < {k}: hash64_str(text, seed=1) single shingle
+        SELECT doc_id, any_value(n) AS n,
+               sum(b::HUGEINT * ({pow_list})[(n - p) + 1]) % {U64_MOD} AS poly
+        FROM dbytes WHERE n < {k}
+        GROUP BY doc_id
+    ),
+    {mix64_ctes('lm', 'tinyp', 'doc_id, poly',
+                f'(n + {sd1}::HUGEINT) % {U64_MOD}')},
+    {mix64_ctes('tm', 'lm5', 'doc_id', 'xor(poly, x)')},
+    shingles AS MATERIALIZED (
+        SELECT doc_id, x AS sh FROM rm5
+        UNION ALL
+        SELECT doc_id, x AS sh FROM tm5
+    ),
+    oph AS MATERIALIZED (
+        SELECT doc_id, (sh >> {shift})::BIGINT AS bucket, min(sh) AS mn
+        FROM shingles GROUP BY doc_id, bucket
+    ),
+    grid AS (
+        SELECT doc_id, j
+        FROM (SELECT DISTINCT doc_id FROM shingles) e,
+             LATERAL (SELECT unnest(generate_series(0, {perms - 1})) AS j) _
+    ),
+    slots0 AS MATERIALIZED (
+        SELECT g.doc_id, g.j, o.mn
+        FROM grid g LEFT JOIN oph o ON o.doc_id = g.doc_id AND o.bucket = g.j
+    ),
+    nxt AS (  -- doubled index space; reverse window min finds the
+              -- nearest occupied bucket at or after j (circular)
+        SELECT doc_id, jj,
+               min(CASE WHEN mn IS NOT NULL THEN jj END)
+                 OVER (PARTITION BY doc_id ORDER BY jj
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM (SELECT doc_id, j + {perms} * dup AS jj, mn
+              FROM slots0, (VALUES (0), (1)) d(dup))
+    ),
+    borrow AS (  -- empty slot j borrows the pre-densified min at src
+        SELECT s.doc_id, s.j,
+               (o.mn + (n.nx - s.j)::HUGEINT) % {U64_MOD} AS bx
+        FROM slots0 s
+        JOIN nxt n ON n.doc_id = s.doc_id AND n.jj = s.j
+        JOIN oph o ON o.doc_id = s.doc_id AND o.bucket = (n.nx % {perms})
+        WHERE s.mn IS NULL
+    ),
+    {mix64_ctes('bm', 'borrow', 'doc_id, j', 'bx')},
+    sig AS MATERIALIZED (
+        SELECT doc_id, j, mn AS v FROM slots0 WHERE mn IS NOT NULL
+        UNION ALL
+        SELECT doc_id, j, x AS v FROM bm5
+    ),
+    bandp AS (  -- pivot each band's {rows} slots into columns
+        SELECT doc_id, (j // {rows})::BIGINT AS b, {slot_pivot}
+        FROM sig GROUP BY doc_id, j // {rows}
+    ),
+    {fold_sql},
+    {mix64_ctes('bk', prev, 'doc_id, b',
+                f'(x + 2 * b::HUGEINT) % {U64_MOD}')},
+    bkd AS MATERIALIZED (SELECT DISTINCT x AS band_key, doc_id FROM bk5),
+    bw AS (
+        SELECT doc_id,
+               row_number() OVER w AS rn,
+               count(*)    OVER (PARTITION BY band_key) AS sz,
+               min(doc_id) OVER (PARTITION BY band_key) AS fst,
+               lead(doc_id) OVER w AS nx
+        FROM bkd
+        WINDOW w AS (PARTITION BY band_key ORDER BY doc_id)
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_id AS u, nx AS v FROM bw WHERE rn < sz
+        UNION
+        SELECT fst AS u, doc_id AS v FROM bw WHERE rn >= 3
+    ),
+    ver AS (
+        SELECT e.u, e.v, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+        FROM edges e
+        JOIN sig sa ON sa.doc_id = e.u
+        JOIN sig sb ON sb.doc_id = e.v AND sb.j = sa.j
+        GROUP BY e.u, e.v
+    )
+    SELECT DISTINCT u AS doc_id_a, v AS doc_id_b
+    FROM ver WHERE neq >= {min_eq}
+    """
+
+
+register("minhash_lsh_pairs", minhash_lsh_pairs, _minhash_oracle_sql())
 
 
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -285,22 +439,9 @@ def _simhash_oracle_sql() -> str:
     pipeline per side.
     """
     from ..config import SimHashConfig
+    from ..functions.sqlgen import U64_MOD, crc32_list_sql, mix64_ctes
 
-    tbl = []
-    for n in range(256):
-        c = n
-        for _ in range(8):
-            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
-        tbl.append(c)
-    crc_list = "[" + ",".join(str(c) for c in tbl) + "]"
-
-    def mul64(x: str, mul: int) -> str:
-        lo, hi = mul & 0xFFFFFFFF, mul >> 32
-        return (f"(({x}) * {lo}::HUGEINT + (({x}) % 4294967296) * "
-                f"{hi}::HUGEINT * 4294967296::HUGEINT) % "
-                f"18446744073709551616::HUGEINT")
-
-    mul1, mul2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    crc_list = crc32_list_sql()
     seed = SimHashConfig().seed
     # Python re's unicode \\w for RE2: letters, marks, digits, underscore
     word = r"[\p{L}\p{M}\p{N}_]+"
@@ -331,19 +472,11 @@ def _simhash_oracle_sql() -> str:
                        4294967295::BIGINT) AS crc
             FROM tb
         ),
-        h0 AS (
-            SELECT doc_id,
-                   (crc::HUGEINT + clen::HUGEINT * 4294967296::HUGEINT + {seed})
-                     % 18446744073709551616::HUGEINT AS x0
-            FROM tcrc
-        ),
-        m1 AS (SELECT doc_id, xor(x0, x0 >> 30) AS x FROM h0),
-        m2 AS (SELECT doc_id, {mul64('x', mul1)} AS x FROM m1),
-        m3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m2),
-        m4 AS (SELECT doc_id, {mul64('x', mul2)} AS x FROM m3),
-        m5 AS (SELECT doc_id, xor(x, x >> 31) AS h FROM m4),
+        {mix64_ctes('m', 'tcrc', 'doc_id',
+                    f'(crc::HUGEINT + clen::HUGEINT * 4294967296::HUGEINT '
+                    f'+ {seed}) % {U64_MOD}')},
         bits AS (
-            SELECT doc_id, j, sum(((h >> j) & 1)::BIGINT) AS cnt,
+            SELECT doc_id, j, sum(((x >> j) & 1)::BIGINT) AS cnt,
                    count(*) AS n
             FROM m5, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) _
             GROUP BY doc_id, j

@@ -337,39 +337,16 @@ def _fingerprint_oracle_sql() -> str:
     single-reference CTE projections so DuckDB never duplicates
     subexpressions.
     """
-    base, k, m64 = 1000000007, 32, 1 << 64
-    pows = [pow(base, e, m64) for e in range(k)]
+    from ..functions.sqlgen import (U64_MOD, bytes_cte, crc32_list_sql,
+                                    mix64_ctes, pow_list_sql, u64_bigint)
 
-    tbl = []
-    for n in range(256):
-        c = n
-        for _ in range(8):
-            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
-        tbl.append(c)
-
-    def mul64(x: str, mul: int) -> str:
-        lo, hi = mul & 0xFFFFFFFF, mul >> 32
-        return (f"(({x}) * {lo}::HUGEINT + (({x}) % 4294967296) * "
-                f"{hi}::HUGEINT * 4294967296::HUGEINT) % "
-                f"18446744073709551616::HUGEINT")
-
-    pow_list = "[" + ",".join(f"{p}::HUGEINT" for p in pows) + "]"
-    crc_list = "[" + ",".join(str(c) for c in tbl) + "]"
-    mul1, mul2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    k = 32
+    pow_list = pow_list_sql(1000000007, k)
+    crc_list = crc32_list_sql()
 
     return f"""
-    WITH hx AS (
-        SELECT doc_id, upper(hex(encode(text))) AS h,
-               octet_length(encode(text)) AS n
-        FROM documents
-    ),
-    bytes AS (
-        SELECT doc_id, n, p,
-               (strpos('0123456789ABCDEF', substr(h, 2*p-1, 1)) - 1) * 16
-             + (strpos('0123456789ABCDEF', substr(h, 2*p,   1)) - 1) AS b
-        FROM hx, LATERAL (SELECT unnest(generate_series(1, n)) AS p) _
-        WHERE n > 0
-    ),
+    WITH
+    {bytes_cte()},
     crc AS (  -- zlib crc32: init ~0, table-fold per byte, final xor ~0
         SELECT doc_id,
                xor(list_reduce(
@@ -377,28 +354,21 @@ def _fingerprint_oracle_sql() -> str:
                        (acc, x) -> xor({crc_list}[((xor(acc, x)) & 255) + 1],
                                        acc >> 8)),
                    4294967295::BIGINT) AS whole
-        FROM bytes GROUP BY doc_id
+        FROM dbytes GROUP BY doc_id
     ),
-    contrib AS (  -- byte at p contributes b*base^(31-p+w) to window w
+    poly AS (  -- byte at p contributes b*base^({k}-1-p+w) to window w
         SELECT doc_id, w,
-               b::HUGEINT * ({pow_list})[(31 - p + w) + 1] AS c
-        FROM bytes,
-             LATERAL (SELECT unnest(generate_series(greatest(1, p - 31),
-                                                    least(n - 31, p))) AS w) _
-        WHERE n >= 32
+               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
+                 % {U64_MOD} AS poly
+        FROM dbytes,
+             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
+                                                    least(n - {k - 1}, p))) AS w) _
+        WHERE n >= {k}
+        GROUP BY doc_id, w
     ),
-    poly AS (
-        SELECT doc_id, w,
-               sum(c) % 18446744073709551616::HUGEINT AS x0
-        FROM contrib GROUP BY doc_id, w
-    ),
-    m1 AS (SELECT doc_id, xor(x0, x0 >> 30) AS x FROM poly),
-    m2 AS (SELECT doc_id, {mul64('x', mul1)} AS x FROM m1),
-    m3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m2),
-    m4 AS (SELECT doc_id, {mul64('x', mul2)} AS x FROM m3),
-    m5 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM m4),
+    {mix64_ctes('m', 'poly', 'doc_id', 'poly')},
     minh AS (SELECT doc_id, min(x) AS mn FROM m5 GROUP BY doc_id),
-    fp AS (  -- < 32 bytes → no windows → fingerprint is the crc alone
+    fp AS (  -- < {k} bytes → no windows → fingerprint is the crc alone
         SELECT d.doc_id,
                CASE WHEN minh.mn IS NULL THEN coalesce(crc.whole, 0)::HUGEINT
                     ELSE xor(minh.mn, crc.whole::HUGEINT) END AS u
@@ -406,10 +376,7 @@ def _fingerprint_oracle_sql() -> str:
         LEFT JOIN crc  USING (doc_id)
         LEFT JOIN minh USING (doc_id)
     )
-    SELECT doc_id,
-           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-                     THEN u - 18446744073709551616::HUGEINT
-                     ELSE u END AS BIGINT) AS fingerprint
+    SELECT doc_id, {u64_bigint('u')} AS fingerprint
     FROM fp
     """
 
