@@ -25,7 +25,6 @@ from ..functions.hashing import hash64_str
 from ..stages.common import dedupe_rows, grouped_apply
 from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
                           simhash_edges, verify_edges_smallset)
-from ..stages.signatures import SignatureStage
 from .registry import register
 
 NGRAM_N = 3                 # word trigrams
@@ -216,12 +215,18 @@ def _doc_sigs(sf_dir: str, compute_anchors: bool = False) -> "ray.data.Dataset":
         })
 
     pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    # task-based map with a per-worker stage cache (the flagship's
+    # pattern, pipelines/dedup.py:_signature_cached) instead of an
+    # actor pool: the stage holds no heavy state, and Ray's actor
+    # restart path intermittently deadlocks a query when an actor dies
+    # with constructor args in the object store (ray#53727)
+    from .dedup import _signature_cached
+
     return pages.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"compute_anchors": compute_anchors},
+        _signature_cached,
+        fn_kwargs={"compute_anchors": compute_anchors},
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(1, 4),
     ).materialize()
 
 
@@ -695,4 +700,86 @@ def long_substring_pairs(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
 
 
-register("long_substring_pairs", long_substring_pairs)
+def _long_substring_oracle_sql() -> str:
+    """DuckDB re-derivation of the long-exact-substring pass:
+
+    1. anchors: 48-byte rolling polynomial hashes (mix64-finalized) of
+       documents ≥ 200 utf-8 bytes, kept where ``hash % 64 == 0``,
+       distinct per doc — exactly ``SignatureStage._anchors``.
+    2. candidates: pairs sharing ≥ 2 distinct anchor values (the
+       ``bucket_cap`` never binds at oracle scale: bucket ≤ corpus 500
+       < 1024).
+    3. exact LCS: a common substring of length L ≥ 200 chars is
+       equivalent to a run of L-199 consecutive matching 200-char
+       grams along one alignment diagonal, so
+       ``lcs_len = 199 + max diagonal run`` (gaps-and-islands over
+       match positions).  Grams are built only for candidate-endpoint
+       documents.
+    """
+    from ..config import SubstringConfig
+    from ..functions.sqlgen import (U64_MOD, bytes_cte, mix64_ctes,
+                                    pow_list_sql)
+
+    sub = SubstringConfig()
+    w, modulus, min_bytes = sub.window, sub.modulus, sub.min_len
+    min_len = 200       # LCS threshold in chars (query arg)
+    min_shared = sub.min_shared_anchors
+    pow_list = pow_list_sql(1000000007, w)
+
+    return f"""
+    WITH
+    {bytes_cte()},
+    rollp AS (
+        SELECT doc_id, w,
+               sum(b::HUGEINT * ({pow_list})[({w} - 1 - p + w) + 1])
+                 % {U64_MOD} AS poly
+        FROM dbytes,
+             LATERAL (SELECT unnest(generate_series(greatest(1, p - {w - 1}),
+                                                    least(n - {w - 1}, p))) AS w) _
+        WHERE n >= {min_bytes}
+        GROUP BY doc_id, w
+    ),
+    {mix64_ctes('rm', 'rollp', 'doc_id', 'poly')},
+    anchors AS MATERIALIZED (
+        SELECT DISTINCT doc_id, x AS anchor
+        FROM rm5 WHERE x % {modulus} = 0
+    ),
+    cand AS MATERIALIZED (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM anchors a JOIN anchors b
+          ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {min_shared}
+    ),
+    endpoints AS (SELECT u AS doc_id FROM cand UNION SELECT v FROM cand),
+    grams AS MATERIALIZED (
+        SELECT d.doc_id, i, substr(d.text, i, {min_len}) AS g
+        FROM documents d JOIN endpoints USING (doc_id),
+             LATERAL (SELECT unnest(generate_series(1,
+                          length(d.text) - {min_len - 1})) AS i) _
+        WHERE length(d.text) >= {min_len}
+    ),
+    matches AS (
+        SELECT c.u, c.v, ga.i AS ia, ga.i - gb.i AS d
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.u
+        JOIN grams gb ON gb.doc_id = c.v AND gb.g = ga.g
+    ),
+    runs AS (
+        SELECT u, v, d,
+               ia - row_number() OVER (PARTITION BY u, v, d ORDER BY ia) AS grp
+        FROM matches
+    ),
+    lcs AS (
+        SELECT u, v, {min_len - 1} + max(run) AS lcs_len
+        FROM (SELECT u, v, d, grp, count(*) AS run
+              FROM runs GROUP BY u, v, d, grp)
+        GROUP BY u, v
+    )
+    SELECT u AS doc_id_a, v AS doc_id_b, CAST(lcs_len AS BIGINT) AS lcs_len
+    FROM lcs
+    """
+
+
+register("long_substring_pairs", long_substring_pairs,
+         _long_substring_oracle_sql())
