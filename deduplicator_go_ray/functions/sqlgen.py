@@ -90,3 +90,132 @@ def bytes_cte(src: str = "documents", text_col: str = "text",
         FROM hx, LATERAL (SELECT unnest(generate_series(1, n)) AS p) _
         WHERE n > 0
     )"""
+
+
+ROLL_BASE = 1000000007
+
+
+def hash64_seed(seed: int) -> int:
+    """The widened seed ``hash64_str`` mixes into each string's length
+    (functions/hashing.py:_hash64_pass)."""
+    return (seed * GOLDEN + 0xA5A5A5A5A5A5A5A5) % M64
+
+
+def oph_sig_ctes(id_col: str, shingle_k: int = 9, num_perms: int = 128) -> str:
+    """CTE block computing the densified OPH MinHash signature table
+    ``sig`` (``{id_col}``, slot ``j`` 0..P-1, value ``v`` HUGEINT) from
+    a ``dbytes`` CTE (see :func:`bytes_cte`) — the SQL twin of
+    ``SignatureStage._minhash_all`` over char shingles:
+
+    * shingles: ``shingle_k``-byte rolling polynomial window hashes
+      (splitmix64-finalized); rows shorter than ``shingle_k`` bytes
+      fall back to ``hash64_str(text, seed=1)``;
+    * one-permutation hashing: bucket = top bits, per-(row, bucket)
+      minimum; rotation densification borrows from the nearest occupied
+      bucket circularly right, salted by distance — the doubled-index
+      reverse window ``min``.
+
+    Emits CTE names rollp/rm*/tinyp/lm*/tm*/shingles/oph/grid/slots0/
+    nxt/borrow/bm*/sig — callers must not reuse them.
+    """
+    k, perms = shingle_k, num_perms
+    shift = 64 - perms.bit_length() + 1
+    pow_list = pow_list_sql(ROLL_BASE, k)
+    sd1 = hash64_seed(1)
+
+    return f"""
+    rollp AS (  -- byte p contributes b·base^({k}-1-p+w) to window w
+        SELECT {id_col}, w,
+               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
+                 % {U64_MOD} AS poly
+        FROM dbytes,
+             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
+                                                    least(n - {k - 1}, p))) AS w) _
+        WHERE n >= {k}
+        GROUP BY {id_col}, w
+    ),
+    {mix64_ctes('rm', 'rollp', id_col + ', w', 'poly')},
+    tinyp AS (  -- 0 < n < {k}: hash64_str(text, seed=1) single shingle
+        SELECT {id_col}, any_value(n) AS n,
+               sum(b::HUGEINT * ({pow_list})[(n - p) + 1]) % {U64_MOD} AS poly
+        FROM dbytes WHERE n < {k}
+        GROUP BY {id_col}
+    ),
+    {mix64_ctes('lm', 'tinyp', id_col + ', poly',
+                f'(n + {sd1}::HUGEINT) % {U64_MOD}')},
+    {mix64_ctes('tm', 'lm5', id_col, 'xor(poly, x)')},
+    shingles AS MATERIALIZED (
+        SELECT {id_col}, x AS sh FROM rm5
+        UNION ALL
+        SELECT {id_col}, x AS sh FROM tm5
+    ),
+    oph AS MATERIALIZED (
+        SELECT {id_col}, (sh >> {shift})::BIGINT AS bucket, min(sh) AS mn
+        FROM shingles GROUP BY {id_col}, bucket
+    ),
+    grid AS (
+        SELECT {id_col}, j
+        FROM (SELECT DISTINCT {id_col} FROM shingles) e,
+             LATERAL (SELECT unnest(generate_series(0, {perms - 1})) AS j) _
+    ),
+    slots0 AS MATERIALIZED (
+        SELECT g.{id_col}, g.j, o.mn
+        FROM grid g LEFT JOIN oph o
+          ON o.{id_col} = g.{id_col} AND o.bucket = g.j
+    ),
+    nxt AS (  -- doubled index space; reverse window min finds the
+              -- nearest occupied bucket at or after j (circular)
+        SELECT {id_col}, jj,
+               min(CASE WHEN mn IS NOT NULL THEN jj END)
+                 OVER (PARTITION BY {id_col} ORDER BY jj
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM (SELECT {id_col}, j + {perms} * dup AS jj, mn
+              FROM slots0, (VALUES (0), (1)) d(dup))
+    ),
+    borrow AS (  -- empty slot j borrows the pre-densified min at src
+        SELECT s.{id_col}, s.j,
+               (o.mn + (n.nx - s.j)::HUGEINT) % {U64_MOD} AS bx
+        FROM slots0 s
+        JOIN nxt n ON n.{id_col} = s.{id_col} AND n.jj = s.j
+        JOIN oph o ON o.{id_col} = s.{id_col} AND o.bucket = (n.nx % {perms})
+        WHERE s.mn IS NULL
+    ),
+    {mix64_ctes('bm', 'borrow', id_col + ', j', 'bx')},
+    sig AS MATERIALIZED (
+        SELECT {id_col}, j, mn AS v FROM slots0 WHERE mn IS NOT NULL
+        UNION ALL
+        SELECT {id_col}, j, x AS v FROM bm5
+    )"""
+
+
+def band_key_ctes(id_col: str, bands: int = 16, rows: int = 8) -> str:
+    """CTE block folding the ``sig`` slot table into per-band keys
+    (CTE ``bandkeys``: ``{id_col}``, band ``b``, ``band_key`` HUGEINT)
+    — the SQL twin of ``combine64`` + the band-index mix of
+    ``band_rows``/``bucket_rows``: ``acc = mix64(acc·GOLDEN + slot +
+    pos)`` unrolled, then ``mix64(acc + 2·band_idx)``.
+
+    Emits CTE names bandp/f{{r}}_*/bk* — callers must not reuse them.
+    """
+    parts = []
+    prev = "bandp"
+    for r in range(rows):
+        rest = ", ".join(f"s{i}" for i in range(r + 1, rows))
+        cols = f"{id_col}, b{', ' + rest if rest else ''}"
+        acc = mul64_const("x", GOLDEN) if r else "0::HUGEINT"
+        xin = f"(({acc}) + s{r} + {r + 1}) % {U64_MOD}"
+        parts.append(mix64_ctes(f"f{r}_", prev, cols, xin))
+        prev = f"f{r}_5"
+    fold_sql = ",".join(parts)
+    slot_pivot = ", ".join(
+        f"max(CASE WHEN j % {rows} = {r} THEN v END) AS s{r}"
+        for r in range(rows))
+    return f"""
+    bandp AS (  -- pivot each band's {rows} slots into columns
+        SELECT {id_col}, (j // {rows})::BIGINT AS b, {slot_pivot}
+        FROM sig GROUP BY {id_col}, j // {rows}
+    ),
+    {fold_sql},
+    {mix64_ctes('bk', prev, id_col + ', b',
+                f'(x + 2 * b::HUGEINT) % {U64_MOD}')},
+    bandkeys AS (SELECT {id_col}, b, x AS band_key FROM bk5)"""

@@ -284,107 +284,22 @@ def _minhash_oracle_sql() -> str:
     Stage-by-stage bit-equality against the numpy kernels (signature
     matrix, band keys, edge set, verified pairs) was established on the
     sf0.01 corpus; multi-referenced CTEs are MATERIALIZED so DuckDB
-    does not re-derive the signature pipeline per join side.
+    does not re-derive the signature pipeline per join side.  The
+    shingle→OPH→band blocks are shared with the flagship oracle via
+    ``functions/sqlgen.py``.
     """
-    from ..functions.sqlgen import (GOLDEN, U64_MOD, bytes_cte, mix64_ctes,
-                                    mul64_const, pow_list_sql)
+    from ..functions.sqlgen import band_key_ctes, bytes_cte, oph_sig_ctes
 
     cfg = MinHashConfig()
-    k, perms, rows = cfg.shingle_k, cfg.num_perms, cfg.rows
-    shift = 64 - perms.bit_length() + 1          # OPH bucket = h >> shift
-    pow_list = pow_list_sql(1000000007, k)
-    sd1 = (GOLDEN + 0xA5A5A5A5A5A5A5A5) % (1 << 64)   # hash64_str seed=1
-    min_eq = next(n for n in range(perms + 1)
-                  if n / perms >= cfg.verify_threshold)
-
-    # band fold: acc_{r+1} = mix64(acc_r · GOLDEN + s_r + (r+1)), acc_0 = 0
-    fold_parts = []
-    prev = "bandp"
-    for r in range(rows):
-        rest = ", ".join(f"s{i}" for i in range(r + 1, rows))
-        cols = f"doc_id, b{', ' + rest if rest else ''}"
-        acc = mul64_const("x", GOLDEN) if r else "0::HUGEINT"
-        xin = f"(({acc}) + s{r} + {r + 1}) % {U64_MOD}"
-        fold_parts.append(mix64_ctes(f"f{r}_", prev, cols, xin))
-        prev = f"f{r}_5"
-    fold_sql = ",".join(fold_parts)
-
-    slot_pivot = ", ".join(
-        f"max(CASE WHEN j % {rows} = {r} THEN v END) AS s{r}"
-        for r in range(rows))
+    min_eq = next(n for n in range(cfg.num_perms + 1)
+                  if n / cfg.num_perms >= cfg.verify_threshold)
 
     return f"""
     WITH
     {bytes_cte()},
-    rollp AS (  -- byte p contributes b·base^({k}-1-p+w) to window w
-        SELECT doc_id, w,
-               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
-                 % {U64_MOD} AS poly
-        FROM dbytes,
-             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
-                                                    least(n - {k - 1}, p))) AS w) _
-        WHERE n >= {k}
-        GROUP BY doc_id, w
-    ),
-    {mix64_ctes('rm', 'rollp', 'doc_id, w', 'poly')},
-    tinyp AS (  -- 0 < n < {k}: hash64_str(text, seed=1) single shingle
-        SELECT doc_id, any_value(n) AS n,
-               sum(b::HUGEINT * ({pow_list})[(n - p) + 1]) % {U64_MOD} AS poly
-        FROM dbytes WHERE n < {k}
-        GROUP BY doc_id
-    ),
-    {mix64_ctes('lm', 'tinyp', 'doc_id, poly',
-                f'(n + {sd1}::HUGEINT) % {U64_MOD}')},
-    {mix64_ctes('tm', 'lm5', 'doc_id', 'xor(poly, x)')},
-    shingles AS MATERIALIZED (
-        SELECT doc_id, x AS sh FROM rm5
-        UNION ALL
-        SELECT doc_id, x AS sh FROM tm5
-    ),
-    oph AS MATERIALIZED (
-        SELECT doc_id, (sh >> {shift})::BIGINT AS bucket, min(sh) AS mn
-        FROM shingles GROUP BY doc_id, bucket
-    ),
-    grid AS (
-        SELECT doc_id, j
-        FROM (SELECT DISTINCT doc_id FROM shingles) e,
-             LATERAL (SELECT unnest(generate_series(0, {perms - 1})) AS j) _
-    ),
-    slots0 AS MATERIALIZED (
-        SELECT g.doc_id, g.j, o.mn
-        FROM grid g LEFT JOIN oph o ON o.doc_id = g.doc_id AND o.bucket = g.j
-    ),
-    nxt AS (  -- doubled index space; reverse window min finds the
-              -- nearest occupied bucket at or after j (circular)
-        SELECT doc_id, jj,
-               min(CASE WHEN mn IS NOT NULL THEN jj END)
-                 OVER (PARTITION BY doc_id ORDER BY jj
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
-        FROM (SELECT doc_id, j + {perms} * dup AS jj, mn
-              FROM slots0, (VALUES (0), (1)) d(dup))
-    ),
-    borrow AS (  -- empty slot j borrows the pre-densified min at src
-        SELECT s.doc_id, s.j,
-               (o.mn + (n.nx - s.j)::HUGEINT) % {U64_MOD} AS bx
-        FROM slots0 s
-        JOIN nxt n ON n.doc_id = s.doc_id AND n.jj = s.j
-        JOIN oph o ON o.doc_id = s.doc_id AND o.bucket = (n.nx % {perms})
-        WHERE s.mn IS NULL
-    ),
-    {mix64_ctes('bm', 'borrow', 'doc_id, j', 'bx')},
-    sig AS MATERIALIZED (
-        SELECT doc_id, j, mn AS v FROM slots0 WHERE mn IS NOT NULL
-        UNION ALL
-        SELECT doc_id, j, x AS v FROM bm5
-    ),
-    bandp AS (  -- pivot each band's {rows} slots into columns
-        SELECT doc_id, (j // {rows})::BIGINT AS b, {slot_pivot}
-        FROM sig GROUP BY doc_id, j // {rows}
-    ),
-    {fold_sql},
-    {mix64_ctes('bk', prev, 'doc_id, b',
-                f'(x + 2 * b::HUGEINT) % {U64_MOD}')},
-    bkd AS MATERIALIZED (SELECT DISTINCT x AS band_key, doc_id FROM bk5),
+    {oph_sig_ctes('doc_id', cfg.shingle_k, cfg.num_perms)},
+    {band_key_ctes('doc_id', cfg.bands, cfg.rows)},
+    bkd AS MATERIALIZED (SELECT DISTINCT band_key, doc_id FROM bandkeys),
     bw AS (
         SELECT doc_id,
                row_number() OVER w AS rn,
@@ -662,7 +577,12 @@ def dedup_pipeline(sf_dir: str) -> "ray.data.Dataset":
         ["url", "cluster_id", "keeper_url", "is_keeper", "action", "match_kind"])
 
 
-register("dedup_pipeline", dedup_pipeline)
+def _flagship_oracle_sql() -> str:
+    from .flagship_oracle import flagship_oracle_sql
+    return flagship_oracle_sql()
+
+
+register("dedup_pipeline", dedup_pipeline, _flagship_oracle_sql())
 
 
 # --------------------------------------------------------------------------
