@@ -245,7 +245,71 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
-register("ann_ivf_topk", ann_ivf_topk)
+def _ivf_oracle_sql() -> str:
+    """DuckDB re-derivation of the routed IVF search: centroids are the
+    per-``label`` means of the raw vectors (cosine is scale-invariant,
+    so the SQL skips the explicit normalizations); each query probes its
+    ``NPROBE`` nearest centroids (ties broken by label — argsort on the
+    distinct centroid sims is order-identical); each vector joins its
+    argmax-nearest cell (numpy argmax takes the first maximum = lowest
+    label); candidates are the probed cells' vectors, ranked by
+    (sim DESC, neighbor_id ASC) like the brute-force oracle.  The
+    float ranking agreement between numpy matmul and DuckDB
+    ``list_cosine_similarity`` is already hash-evidenced by the
+    exhaustive-twin gates."""
+    dim = 64  # input_hint embedding width (all testdata SFs)
+    return f"""
+    WITH cent AS MATERIALIZED (
+        SELECT label, list(s ORDER BY i) AS c
+        FROM (SELECT label, i, sum(embedding[i]) / count(*) AS s
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) _
+              GROUP BY label, i)
+        GROUP BY label
+    ),
+    q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probe AS MATERIALIZED (
+        SELECT query_id, label FROM (
+            SELECT q.vec_id AS query_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, c.c) DESC,
+                                c.label) AS pr
+            FROM q, cent c)
+        WHERE pr <= {NPROBE}
+    ),
+    vcell AS MATERIALIZED (
+        SELECT vec_id, cell_id, e FROM (
+            SELECT v.vec_id, c.label AS cell_id,
+                   CAST(v.embedding AS DOUBLE[]) AS e,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    CAST(v.embedding AS DOUBLE[]), c.c) DESC,
+                                c.label) AS rr
+            FROM embeddings v, cent c)
+        WHERE rr = 1
+    ),
+    scored AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, v.e) AS sim
+        FROM probe p
+        JOIN vcell v ON v.cell_id = p.label
+        JOIN q ON q.vec_id = p.query_id
+        WHERE v.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+register("ann_ivf_topk", ann_ivf_topk, _ivf_oracle_sql())
 
 # exhaustive probe (nprobe = all cells) — same routed execution plan,
 # provably equal to brute force, so the brute oracle hash-checks it
@@ -334,7 +398,61 @@ def ann_lsh_topk(sf_dir: str,
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
-register("ann_lsh_topk", ann_lsh_topk)
+def _lsh_oracle_sql(n_planes: int = 5, n_tables: int = 12) -> str:
+    """DuckDB re-derivation of the random-hyperplane LSH search.
+
+    The hyperplanes are the seed-42 ``default_rng`` gaussians — a
+    data-independent algorithm constant like the CRC table in the hash
+    oracles, embedded at full ``repr`` precision (decimal round-trips
+    exactly to the same float64).  Signature bits compare the RAW
+    dot product against 0 (the Ray path signs the normalized vector;
+    norms are positive so the signs agree).  A (query, vector) pair is
+    a candidate iff some table's bucket bits match; ranking matches the
+    brute-force oracle's (sim DESC, neighbor_id ASC)."""
+    dim = 64  # input_hint embedding width (all testdata SFs)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    rows = ", ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in planes[t, p])}])"
+        for t in range(n_tables) for p in range(n_planes))
+    return f"""
+    WITH planes(t, p, pl) AS (VALUES {rows}),
+    sigbits AS MATERIALIZED (
+        SELECT v.vec_id, pl.t,
+               sum(CASE WHEN list_dot_product(CAST(v.embedding AS DOUBLE[]),
+                                              pl.pl) > 0
+                        THEN (1::BIGINT << pl.p) ELSE 0 END) AS bits
+        FROM embeddings v, planes pl
+        GROUP BY v.vec_id, pl.t
+    ),
+    q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+        FROM sigbits qb
+        JOIN sigbits vb ON vb.t = qb.t AND vb.bits = qb.bits
+                       AND vb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(
+                   q.e, CAST(v.embedding AS DOUBLE[])) AS sim
+        FROM cand c
+        JOIN q ON q.vec_id = c.query_id
+        JOIN embeddings v ON v.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+register("ann_lsh_topk", ann_lsh_topk, _lsh_oracle_sql())
 
 register("ann_lsh_exhaustive",
          lambda sf_dir: ann_lsh_topk(sf_dir, n_planes=0, n_tables=1),
