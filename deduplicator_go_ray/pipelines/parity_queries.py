@@ -214,9 +214,9 @@ register(
 # --------------------------------------------------------------------------
 
 def containment_pairs(sf_dir: str) -> pd.DataFrame:
-    from ..stages.signatures import SignatureStage
     from ..stages.substring import (anchor_rows, candidate_pairs,
                                     verify_containment_smallset)
+    from .dedup import _signature_cached
 
     sub_cfg = SubstringConfig(modulus=16, min_len=CONTAIN_MIN_BYTES)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
@@ -231,10 +231,13 @@ def containment_pairs(sf_dir: str) -> pd.DataFrame:
         })
 
     pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    # task-based per-worker stage cache, not an actor pool — the stage
+    # holds no heavy state and Ray's actor restart path intermittently
+    # deadlocks (ray#53727); same change as _doc_sigs
     sigs = pages.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"substring": sub_cfg, "compute_anchors": True},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        _signature_cached,
+        fn_kwargs={"substring": sub_cfg, "compute_anchors": True},
+        batch_format="pyarrow", batch_size=512,
     ).materialize()
     anchors = anchor_rows(sigs)
     cand = candidate_pairs(anchors, sub_cfg)
