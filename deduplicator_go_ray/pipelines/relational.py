@@ -369,6 +369,94 @@ register(
 
 
 # --------------------------------------------------------------------------
+# Q3 — delete-by-id, re-expressed as a batch mutation
+# (cmd/server.go:356-408): the serving point-delete becomes a plan over
+# a request set plus an anti-join survivor dataset.  The reference's
+# LOWER(hostname) guard maps to the request's source scope: a row whose
+# source differs is invisible to the request and reports not_found
+# (exactly the reference's no-rows branch); a visible row reports
+# deleted with its reclaimed byte count (the FS-removal half of the
+# reference is the survivor write, exercised in tests).
+# --------------------------------------------------------------------------
+
+DELETE_REQ_MOD = 7
+DELETE_REQ_MAX = 200
+DELETE_REQ_SOURCE = "src0"
+# ids past any corpus: the reference's 404 branch
+DELETE_REQ_MISSING = (1_000_000_000, 1_000_000_001, 1_000_000_002)
+
+
+def _delete_request_ids() -> list[int]:
+    return (list(range(0, DELETE_REQ_MAX, DELETE_REQ_MOD))
+            + list(DELETE_REQ_MISSING))
+
+
+def delete_plan(sf_dir: str) -> pd.DataFrame:
+    """Per requested id: status ``deleted`` (row exists in the request's
+    source scope) or ``not_found`` (absent, or scope mismatch), with the
+    reclaimed byte count.  The tiny request set is broadcast; one
+    column-pruned map pass over the corpus collects the hits."""
+    req = _delete_request_ids()
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    wanted = ray.put(frozenset(req))
+
+    def hits(t: pa.Table) -> pa.Table:
+        w = ray.get(wanted)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        keep = np.array([int(i) in w for i in ids], dtype=bool)
+        kept = t.filter(pa.array(keep))
+        nb = pc.binary_length(pc.cast(kept["text"], pa.binary()))
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "source": kept["source"],
+            "n_bytes": pc.cast(nb, pa.int64()),
+        })
+
+    hit = docs.map_batches(hits, batch_format="pyarrow").to_pandas()
+    by_id = {int(r.doc_id): r for r in hit.itertuples()}
+    rows = []
+    for i in req:
+        r = by_id.get(i)
+        ok = r is not None and r.source == DELETE_REQ_SOURCE
+        rows.append({"doc_id": i,
+                     "status": "deleted" if ok else "not_found",
+                     "freed_bytes": int(r.n_bytes) if ok else 0})
+    return (pd.DataFrame(rows)
+            .astype({"doc_id": "int64", "freed_bytes": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def delete_survivors(docs: "ray.data.Dataset",
+                     plan: pd.DataFrame) -> "ray.data.Dataset":
+    """The mutation half: corpus minus the plan's deleted ids (broadcast
+    anti semi-filter — deletion sets are tiny next to the corpus).
+    Idempotent: re-applying the same plan is a no-op."""
+    deleted = set(plan.loc[plan["status"] == "deleted", "doc_id"].tolist())
+    return broadcast_semi_filter(docs, "doc_id", deleted, anti=True)
+
+
+_DELETE_REQ_VALUES = ", ".join(f"({i})" for i in _delete_request_ids())
+
+register(
+    "delete_plan",
+    delete_plan,
+    f"""
+    WITH req(doc_id) AS (VALUES {_DELETE_REQ_VALUES}),
+    hit AS (
+        SELECT r.doc_id, d.source, octet_length(encode(d.text)) AS nb
+        FROM req r LEFT JOIN documents d
+          ON d.doc_id = r.doc_id AND d.source = '{DELETE_REQ_SOURCE}'
+    )
+    SELECT doc_id,
+           CASE WHEN source IS NOT NULL THEN 'deleted'
+                ELSE 'not_found' END AS status,
+           coalesce(nb, 0) AS freed_bytes
+    FROM hit
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # D6/J5 — mirror set-completion planning: per dup key, how many sources
 # hold it vs are missing it (files/group_mirror.go:281-366, mirror.go:46-128)
 # --------------------------------------------------------------------------

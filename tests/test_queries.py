@@ -180,3 +180,31 @@ def test_hopping_window_fanout_law(registry):
     # window starts are hop-aligned
     assert (out["window_start"].dt.minute % _HOP_MIN == 0).all()
     assert (out["window_start"].dt.second == 0).all()
+
+
+def test_delete_survivors_idempotent(registry, ray_session):
+    """Q3 mutation half: survivors = corpus minus the plan's deleted
+    ids; re-applying the same plan is a no-op (idempotent delete, the
+    reference's already-missing branch)."""
+    import ray.data
+
+    from deduplicator_go_ray.pipelines.relational import (delete_plan,
+                                                          delete_survivors)
+
+    plan = delete_plan(SF_DIR)
+    assert set(plan["status"]) <= {"deleted", "not_found"}
+    n_del = int((plan["status"] == "deleted").sum())
+    assert n_del >= 1                       # scope-visible rows exist
+    assert (plan.loc[plan["status"] == "deleted", "freed_bytes"] > 0).all()
+    assert (plan.loc[plan["status"] == "not_found", "freed_bytes"] == 0).all()
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    n_docs = docs.count()
+    once = delete_survivors(docs, plan).materialize()
+    assert once.count() == n_docs - n_del
+    twice = delete_survivors(once, plan).materialize()
+    assert twice.count() == once.count()    # idempotent
+    gone = set(plan.loc[plan["status"] == "deleted", "doc_id"])
+    left = {r["doc_id"] for r in once.select_columns(["doc_id"]).take_all()}
+    assert gone.isdisjoint(left)
