@@ -398,12 +398,12 @@ def delete_plan(sf_dir: str) -> pd.DataFrame:
     column-pruned map pass over the corpus collects the hits."""
     req = _delete_request_ids()
     docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    wanted = ray.put(frozenset(req))
+    wanted = ray.put(np.array(sorted(req), dtype=np.int64))
 
     def hits(t: pa.Table) -> pa.Table:
         w = ray.get(wanted)
         ids = np.asarray(t["doc_id"], dtype=np.int64)
-        keep = np.array([int(i) in w for i in ids], dtype=bool)
+        keep = np.isin(ids, w)              # vectorized membership probe
         kept = t.filter(pa.array(keep))
         nb = pc.binary_length(pc.cast(kept["text"], pa.binary()))
         return pa.table({

@@ -156,12 +156,13 @@ def long_substring_pairs(
     for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
         urls.update(b["u"].to_pylist())
         urls.update(b["v"].to_pylist())
-    uref = _ray.put(frozenset(urls))
+    uref = _ray.put(pa.array(sorted(urls), pa.string()))
 
     def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
         wanted = _ray.get(uref)
-        keep = [u in wanted for u in t["url"].to_pylist()]
-        return t.filter(pa.array(keep)).select(["url", "text"])
+        keep = _pc.is_in(t["url"], value_set=wanted)  # vectorized probe
+        return t.filter(keep).select(["url", "text"])
 
     skinny = texts.map_batches(slim, batch_format="pyarrow").materialize()
     refs = tuple(block_refs_of(skinny))
