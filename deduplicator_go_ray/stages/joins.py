@@ -22,6 +22,7 @@ from collections.abc import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -142,16 +143,16 @@ def broadcast_semi_filter(
 ) -> "ray.data.Dataset":
     """Semi (or anti) join against a broadcast key set
     (≙ `SELECT COUNT(*) WHERE hash=$1` per candidate, files/import.go:269-281
-    — but set-membership per batch instead of an N+1 lookup)."""
-    ref = ray.put(frozenset(keys))
+    — but a vectorized Arrow ``is_in`` per batch instead of an N+1
+    lookup or a per-row Python set probe)."""
+    ref = ray.put(pa.array(list(set(keys))))
 
     def f(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        mask = np.fromiter((v in ks for v in batch[key].to_pylist()),
-                           dtype=bool, count=len(batch))
+        mask = pc.fill_null(pc.is_in(batch[key], value_set=ks), False)
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -199,7 +199,8 @@ def incremental_hash(
                 batch_size=65536, batch_format="pyarrow"):
             keep = np.ones(len(b), dtype=bool)
             if retry_errors:
-                keep &= np.array([e is None for e in b["error"].to_pylist()])
+                import pyarrow.compute as _pc
+                keep &= _pc.is_null(b["error"]).to_numpy(zero_copy_only=False)
             if cutoff is not None:
                 # stale rows re-enter the work set (≙ files/hash.go:31);
                 # rows from pre-TTL checkpoints (no stamp) count stale
