@@ -336,3 +336,65 @@ register(
                         AND pres.source = hosts.source)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# multimodal dedup through the full media plumbing, SQL-oracled
+# --------------------------------------------------------------------------
+#
+# The deterministic fake decoder derives features from the payload
+# BYTES: identical payloads get identical features (cosine exactly 1),
+# and distinct payloads get independent pseudo-random 64-dim vectors
+# whose cosine reaching the 0.98 threshold has negligible probability
+# (Gaussian tail ~ exp(-64·0.98²/2)).  The media near-dup pair set is
+# therefore exactly the exact-payload-equality pair set — which DuckDB
+# can compute independently — while the Ray side still exercises the
+# whole chain: actor-pool decode, hyperplane bucketing, the bucket-key
+# shuffle and the in-bucket cosine verify.
+
+MEDIA_PREFIX_CHARS = 8  # payload = first 8 chars of text → real dup groups
+
+
+def media_dedup_pairs(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ..stages.multimodal import media_dedup_by_feature
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "media_id": pa.array([f"{i:012d}" for i in ids], pa.string()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(
+                [x[:MEDIA_PREFIX_CHARS].encode("utf-8") for x in texts],
+                pa.binary()),
+            "mime": pa.array(["image/fake"] * len(ids), pa.string()),
+            "width": pa.array([-1] * len(ids), pa.int32()),
+            "height": pa.array([-1] * len(ids), pa.int32()),
+            "duration_ms": pa.array([-1] * len(ids), pa.int32()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = media_dedup_by_feature(media).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                             "doc_id_b": pd.Series(dtype="int64")})
+    return (pd.DataFrame({"doc_id_a": out["id_a"].astype("int64"),
+                          "doc_id_b": out["id_b"].astype("int64")})
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+
+
+register(
+    "media_dedup_pairs",
+    media_dedup_pairs,
+    f"""
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND substr(a.text, 1, {MEDIA_PREFIX_CHARS})
+         = substr(b.text, 1, {MEDIA_PREFIX_CHARS})
+    """,
+)
