@@ -152,3 +152,37 @@ def test_query_matches_registered_oracle(name):
             assert np.allclose(a.to_numpy(), b.to_numpy(), atol=1e-9)
         else:
             assert (a.to_numpy() == b.to_numpy()).all(), f"column {c} differs"
+
+
+# --------------------------------------------------------------------------
+# property: the byte-level SQL kernels are exact for arbitrary unicode
+# (the corpus is ASCII; these pin the general case)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=6))
+def test_fingerprint_oracle_exact_on_unicode(texts):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile
+
+    from deduplicator_go_ray.functions.textstats import fingerprint64
+    from deduplicator_go_ray.pipelines.textqc import _fingerprint_oracle_sql
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/documents.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), path)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        got = con.execute(_fingerprint_oracle_sql()).fetchdf()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = np.array([fingerprint64(t) for t in texts],
+                   dtype=np.uint64).view(np.int64)
+    assert (got["fingerprint"].to_numpy() == exp).all()
