@@ -186,3 +186,48 @@ def test_fingerprint_oracle_exact_on_unicode(texts):
     exp = np.array([fingerprint64(t) for t in texts],
                    dtype=np.uint64).view(np.int64)
     assert (got["fingerprint"].to_numpy() == exp).all()
+
+
+def test_flagship_oracle_on_exact_dup_corpus(ray_session, tmp_path):
+    """The driver corpus has no exact-text duplicates, so its gate never
+    exercises the oracle's `exact` match-kind branch; this synthetic
+    corpus hits all four kinds (exact / near / substring / unique) and
+    asserts Ray-vs-SQL equality on the full assignment table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_go_ray.pipelines.registry import oracle_sql, queries
+
+    base = ("data query row scan merge sort hash join filter table "
+            "column batch stream window value part key agg index page ")
+    long = (base * 6).strip()                   # ~700 chars
+    texts = [
+        long,                                    # rep of exact group
+        long,                                    # exact dup
+        long,                                    # exact dup
+        long.replace("merge", "blend", 2),       # near dup of the group
+        "the quick brown fox " + long[:400],     # contains a long run
+        long[:300],                              # embedded in others
+        "totally different tiny document",       # unique
+        "another unrelated page about nothing in particular " * 8,
+        # isolated exact group: near/substring-free, so its members keep
+        # match_kind == 'exact' (the precedence branch under test)
+        "standalone exact duplicate content with its own vocabulary",
+        "standalone exact duplicate content with its own vocabulary",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array([f"src{i % 3}" for i in range(len(texts))],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    mine = _canon(_to_pandas(queries()["dedup_pipeline"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    gold = _canon(con.execute(oracle_sql()["dedup_pipeline"]).fetch_df())
+    assert "exact" in set(mine["match_kind"])   # the branch under test
+    pd.testing.assert_frame_equal(mine, gold)
