@@ -101,6 +101,31 @@ def hash64_seed(seed: int) -> int:
     return (seed * GOLDEN + 0xA5A5A5A5A5A5A5A5) % M64
 
 
+def roll_poly_cte(name: str, id_col: str, k: int,
+                  where: str | None = None) -> str:
+    """CTE computing all ``k``-byte rolling polynomial window hashes
+    (pre-mix) from a ``dbytes`` CTE: byte ``b`` at position ``p``
+    contributes ``b·base^(k-1-p+w)`` to window ``w`` — a byte×window
+    contribution join, grouped per window.  ``where`` defaults to the
+    minimum-length condition ``n >= k``; pass a stricter predicate to
+    also gate row eligibility (e.g. the anchor pass's 200-byte floor).
+    Feed the result through :func:`mix64_ctes` for the finalized
+    hashes."""
+    pow_list = pow_list_sql(ROLL_BASE, k)
+    cond = where if where is not None else f"n >= {k}"
+    return f"""
+    {name} AS (
+        SELECT {id_col}, w,
+               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
+                 % {U64_MOD} AS poly
+        FROM dbytes,
+             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
+                                                    least(n - {k - 1}, p))) AS w) _
+        WHERE {cond}
+        GROUP BY {id_col}, w
+    )"""
+
+
 def oph_sig_ctes(id_col: str, shingle_k: int = 9, num_perms: int = 128) -> str:
     """CTE block computing the densified OPH MinHash signature table
     ``sig`` (``{id_col}``, slot ``j`` 0..P-1, value ``v`` HUGEINT) from
@@ -124,16 +149,7 @@ def oph_sig_ctes(id_col: str, shingle_k: int = 9, num_perms: int = 128) -> str:
     sd1 = hash64_seed(1)
 
     return f"""
-    rollp AS (  -- byte p contributes b·base^({k}-1-p+w) to window w
-        SELECT {id_col}, w,
-               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
-                 % {U64_MOD} AS poly
-        FROM dbytes,
-             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
-                                                    least(n - {k - 1}, p))) AS w) _
-        WHERE n >= {k}
-        GROUP BY {id_col}, w
-    ),
+    {roll_poly_cte('rollp', id_col, k)},
     {mix64_ctes('rm', 'rollp', id_col + ', w', 'poly')},
     tinyp AS (  -- 0 < n < {k}: hash64_str(text, seed=1) single shingle
         SELECT {id_col}, any_value(n) AS n,
@@ -185,6 +201,66 @@ def oph_sig_ctes(id_col: str, shingle_k: int = 9, num_perms: int = 128) -> str:
         SELECT {id_col}, j, mn AS v FROM slots0 WHERE mn IS NOT NULL
         UNION ALL
         SELECT {id_col}, j, x AS v FROM bm5
+    )"""
+
+
+def simhash_sig_ctes(id_col: str, src: str, text_col: str,
+                     seed: int = 42) -> str:
+    """CTE block computing the 64-bit SimHash per row of ``src`` as CTE
+    ``simh`` (``{id_col}``, ``simhash`` HUGEINT; tokenless rows get 0)
+    — the SQL twin of ``SignatureStage._simhash_all``: tokenize the
+    lowercased text with ``[\\p{{L}}\\p{{N}}_]+`` (Python's unicode
+    ``\\w`` — combining marks are NOT word characters, so ``\\p{{M}}``
+    must stay out or NFD text tokenizes differently), hash each token
+    (crc32 + charlen·2^32 + seed → splitmix64), majority-vote the 64
+    bit positions.
+
+    Emits CTE names toks/tb/tcrc/sm*/simbits/simh — callers must not
+    reuse them.  Row eligibility is the caller's concern (``simh``
+    covers every ``src`` row).
+    """
+    crc_list = crc32_list_sql()
+    word = r"[\p{L}\p{N}_]+"
+    return f"""
+    toks AS (
+        SELECT {id_col}, t.tok
+        FROM {src},
+             LATERAL (SELECT unnest(regexp_extract_all(lower({text_col}),
+                                    '{word}')) AS tok) t
+    ),
+    tb AS (
+        SELECT {id_col}, length(tok) AS clen,
+               list_transform(generate_series(1, octet_length(encode(tok))),
+                 p -> (strpos('0123456789ABCDEF',
+                              substr(upper(hex(encode(tok))), 2*p-1, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF',
+                              substr(upper(hex(encode(tok))), 2*p,   1)) - 1)) AS bs
+        FROM toks
+    ),
+    tcrc AS (
+        SELECT {id_col}, clen,
+               xor(list_reduce(list_prepend(4294967295::BIGINT, bs),
+                       (acc, x) -> xor({crc_list}[((xor(acc, x)) & 255) + 1],
+                                       acc >> 8)),
+                   4294967295::BIGINT) AS crc
+        FROM tb
+    ),
+    {mix64_ctes('sm', 'tcrc', id_col,
+                f'(crc::HUGEINT + clen::HUGEINT * 4294967296::HUGEINT '
+                f'+ {seed}) % {U64_MOD}')},
+    simbits AS (
+        SELECT {id_col}, j, sum(((x >> j) & 1)::BIGINT) AS cnt,
+               count(*) AS n
+        FROM sm5, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) _
+        GROUP BY {id_col}, j
+    ),
+    simh AS MATERIALIZED (
+        SELECT s.{id_col}, coalesce(agg.simhash, 0::HUGEINT) AS simhash
+        FROM {src} s LEFT JOIN (
+            SELECT {id_col}, sum(CASE WHEN 2*cnt > n THEN (1::HUGEINT << j)
+                                      ELSE 0::HUGEINT END) AS simhash
+            FROM simbits GROUP BY {id_col}
+        ) agg USING ({id_col})
     )"""
 
 

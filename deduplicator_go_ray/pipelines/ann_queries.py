@@ -256,14 +256,15 @@ def _ivf_oracle_sql() -> str:
     (sim DESC, neighbor_id ASC) like the brute-force oracle.  The
     float ranking agreement between numpy matmul and DuckDB
     ``list_cosine_similarity`` is already hash-evidenced by the
-    exhaustive-twin gates."""
-    dim = 64  # input_hint embedding width (all testdata SFs)
+    exhaustive-twin gates.  The dimension is read from the data
+    (``len(embedding)``), like the Ray path."""
     return f"""
     WITH cent AS MATERIALIZED (
         SELECT label, list(s ORDER BY i) AS c
         FROM (SELECT label, i, sum(embedding[i]) / count(*) AS s
               FROM embeddings,
-                   LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) _
+                   LATERAL (SELECT unnest(generate_series(1,
+                                len(embedding))) AS i) _
               GROUP BY label, i)
         GROUP BY label
     ),
@@ -408,7 +409,11 @@ def _lsh_oracle_sql(n_planes: int = 5, n_tables: int = 12) -> str:
     dot product against 0 (the Ray path signs the normalized vector;
     norms are positive so the signs agree).  A (query, vector) pair is
     a candidate iff some table's bucket bits match; ranking matches the
-    brute-force oracle's (sim DESC, neighbor_id ASC)."""
+    brute-force oracle's (sim DESC, neighbor_id ASC).
+
+    The plane literals are generated at the input_hint width (64); a
+    corpus with a different embedding width fails FAST via the dimcheck
+    guard instead of silently hashing against truncated planes."""
     dim = 64  # input_hint embedding width (all testdata SFs)
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -417,12 +422,19 @@ def _lsh_oracle_sql(n_planes: int = 5, n_tables: int = 12) -> str:
         for t in range(n_tables) for p in range(n_planes))
     return f"""
     WITH planes(t, p, pl) AS (VALUES {rows}),
+    dimcheck AS (
+        SELECT CASE WHEN max(len(embedding)) != {dim}
+                    THEN error('lsh oracle: embedding dim != {dim}; '
+                               'regenerate the plane constants')
+                    ELSE 1 END AS ok
+        FROM embeddings
+    ),
     sigbits AS MATERIALIZED (
         SELECT v.vec_id, pl.t,
                sum(CASE WHEN list_dot_product(CAST(v.embedding AS DOUBLE[]),
                                               pl.pl) > 0
                         THEN (1::BIGINT << pl.p) ELSE 0 END) AS bits
-        FROM embeddings v, planes pl
+        FROM embeddings v, planes pl, dimcheck
         GROUP BY v.vec_id, pl.t
     ),
     q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -462,8 +462,8 @@ def source_stats(sf_dir: str) -> "ray.data.Dataset":
         df = pd.DataFrame({
             "source": t["source"].to_pylist(),
             "n_chars": np.asarray(t["n_chars"], np.int64),
-            "is_en": pc.equal(t["lang"], "en").to_numpy(
-                zero_copy_only=False).astype(np.int64),
+            "is_en": pc.fill_null(pc.equal(t["lang"], "en"), False)
+                .to_numpy(zero_copy_only=False).astype(np.int64),
         })
         g = df.groupby("source", sort=False).agg(
             n_docs=("n_chars", "size"),

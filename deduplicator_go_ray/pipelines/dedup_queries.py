@@ -354,63 +354,25 @@ def _simhash_oracle_sql() -> str:
     Only algorithm constants are embedded (CRC-32 table, splitmix64
     multipliers); 64×64 multiplication mod 2^64 splits the constant
     into 32-bit halves so HUGEINT intermediates never overflow.  The
-    signature CTE is MATERIALIZED — it is referenced by both sides of
-    the pair self-join, and inlining would re-derive the whole token
-    pipeline per side.
+    signature block is shared with the flagship oracle via
+    ``sqlgen.simhash_sig_ctes`` and MATERIALIZED behind the eligible
+    filter — it is referenced by both sides of the pair self-join, and
+    inlining would re-derive the whole token pipeline per side.
     """
     from ..config import SimHashConfig
-    from ..functions.sqlgen import U64_MOD, crc32_list_sql, mix64_ctes
+    from ..functions.sqlgen import simhash_sig_ctes
 
-    crc_list = crc32_list_sql()
     seed = SimHashConfig().seed
-    # Python re's unicode \\w for RE2: letters, marks, digits, underscore
-    word = r"[\p{L}\p{M}\p{N}_]+"
     chunk_free = " OR ".join(f"((x >> {8 * c}) & 255) = 0" for c in range(8))
 
     return f"""
-    WITH sigs AS MATERIALIZED (
-        WITH toks AS (
-            SELECT doc_id, t.tok
-            FROM documents,
-                 LATERAL (SELECT unnest(regexp_extract_all(lower(text),
-                                        '{word}')) AS tok) t
-        ),
-        tb AS (
-            SELECT doc_id, length(tok) AS clen,
-                   list_transform(generate_series(1, octet_length(encode(tok))),
-                     p -> (strpos('0123456789ABCDEF',
-                                  substr(upper(hex(encode(tok))), 2*p-1, 1)) - 1) * 16
-                        + (strpos('0123456789ABCDEF',
-                                  substr(upper(hex(encode(tok))), 2*p,   1)) - 1)) AS bs
-            FROM toks
-        ),
-        tcrc AS (
-            SELECT doc_id, clen,
-                   xor(list_reduce(list_prepend(4294967295::BIGINT, bs),
-                           (acc, x) -> xor({crc_list}[((xor(acc, x)) & 255) + 1],
-                                           acc >> 8)),
-                       4294967295::BIGINT) AS crc
-            FROM tb
-        ),
-        {mix64_ctes('m', 'tcrc', 'doc_id',
-                    f'(crc::HUGEINT + clen::HUGEINT * 4294967296::HUGEINT '
-                    f'+ {seed}) % {U64_MOD}')},
-        bits AS (
-            SELECT doc_id, j, sum(((x >> j) & 1)::BIGINT) AS cnt,
-                   count(*) AS n
-            FROM m5, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) _
-            GROUP BY doc_id, j
-        ),
-        sh AS (
-            SELECT doc_id,
-                   sum(CASE WHEN 2*cnt > n THEN (1::HUGEINT << j)
-                            ELSE 0::HUGEINT END) AS simhash
-            FROM bits GROUP BY doc_id
-        )
+    WITH
+    {simhash_sig_ctes('doc_id', 'documents', 'text', seed)},
+    sigs AS MATERIALIZED (
         -- eligibility ≙ n_shingles > 0 (non-empty text); tokenless
         -- documents keep signature 0
-        SELECT d.doc_id, coalesce(sh.simhash, 0::HUGEINT) AS simhash
-        FROM documents d LEFT JOIN sh USING (doc_id)
+        SELECT d.doc_id, s.simhash
+        FROM documents d JOIN simh s USING (doc_id)
         WHERE octet_length(encode(d.text)) > 0
     ),
     px AS (
@@ -655,28 +617,17 @@ def _long_substring_oracle_sql() -> str:
        documents.
     """
     from ..config import SubstringConfig
-    from ..functions.sqlgen import (U64_MOD, bytes_cte, mix64_ctes,
-                                    pow_list_sql)
+    from ..functions.sqlgen import (bytes_cte, mix64_ctes, roll_poly_cte)
 
     sub = SubstringConfig()
     w, modulus, min_bytes = sub.window, sub.modulus, sub.min_len
     min_len = 200       # LCS threshold in chars (query arg)
     min_shared = sub.min_shared_anchors
-    pow_list = pow_list_sql(1000000007, w)
 
     return f"""
     WITH
     {bytes_cte()},
-    rollp AS (
-        SELECT doc_id, w,
-               sum(b::HUGEINT * ({pow_list})[({w} - 1 - p + w) + 1])
-                 % {U64_MOD} AS poly
-        FROM dbytes,
-             LATERAL (SELECT unnest(generate_series(greatest(1, p - {w - 1}),
-                                                    least(n - {w - 1}, p))) AS w) _
-        WHERE n >= {min_bytes}
-        GROUP BY doc_id, w
-    ),
+    {roll_poly_cte('rollp', 'doc_id', w, where=f'n >= {min_bytes}')},
     {mix64_ctes('rm', 'rollp', 'doc_id', 'poly')},
     anchors AS MATERIALIZED (
         SELECT DISTINCT doc_id, x AS anchor

@@ -47,8 +47,9 @@ from __future__ import annotations
 
 from ..config import MinHashConfig, PipelineConfig
 from ..functions.sqlgen import (U64_MOD, band_key_ctes, bytes_cte,
-                                crc32_list_sql, hash64_seed, mix64_ctes,
-                                oph_sig_ctes, pow_list_sql, u64_bigint)
+                                hash64_seed, mix64_ctes, oph_sig_ctes,
+                                pow_list_sql, roll_poly_cte,
+                                simhash_sig_ctes, u64_bigint)
 
 ROLL_BASE = 1000000007
 
@@ -68,11 +69,6 @@ def flagship_oracle_sql() -> str:
     sim_cap, anchor_cap = 512, 4096
     pow_a = pow_list_sql(ROLL_BASE, aw)
     sd3 = hash64_seed(3)                         # uid seed
-    crc_list = crc32_list_sql()
-    word = r"[\p{L}\p{M}\p{N}_]+"
-
-    sim_chunk_free = " OR ".join(
-        f"c = {c}" for c in range(n_chunks))  # unused; chunks via series
 
     return f"""
     WITH RECURSIVE
@@ -80,8 +76,12 @@ def flagship_oracle_sql() -> str:
         SELECT doc_id,
                'https://docs' || (doc_id % 89) || '.example/' ||
                    substr(md5('doc:' || doc_id), 1, 16) AS url,
-               array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
-                   || chr(10) || text AS etext
+               -- empty text ≙ pages_from_documents' (t or "untitled")
+               -- title fallback; body '' adds nothing after extraction
+               CASE WHEN coalesce(text, '') = '' THEN 'untitled'
+                    ELSE array_to_string(
+                             list_slice(string_split(text, ' '), 1, 4), ' ')
+                         || chr(10) || text END AS etext
         FROM documents
     ),
     members AS MATERIALIZED (
@@ -112,57 +112,10 @@ def flagship_oracle_sql() -> str:
     {bytes_cte('reps', 'etext', 'url')},
     {oph_sig_ctes('url', mh.shingle_k, mh.num_perms)},
     {band_key_ctes('url', mh.bands, mh.rows)},
-    -- ---- simhash over word tokens of the rep text ----------------------
-    toks AS (
-        SELECT url, t.tok
-        FROM reps,
-             LATERAL (SELECT unnest(regexp_extract_all(lower(etext),
-                                    '{word}')) AS tok) t
-    ),
-    tb AS (
-        SELECT url, length(tok) AS clen,
-               list_transform(generate_series(1, octet_length(encode(tok))),
-                 p -> (strpos('0123456789ABCDEF',
-                              substr(upper(hex(encode(tok))), 2*p-1, 1)) - 1) * 16
-                    + (strpos('0123456789ABCDEF',
-                              substr(upper(hex(encode(tok))), 2*p,   1)) - 1)) AS bs
-        FROM toks
-    ),
-    tcrc AS (
-        SELECT url, clen,
-               xor(list_reduce(list_prepend(4294967295::BIGINT, bs),
-                       (acc, x) -> xor({crc_list}[((xor(acc, x)) & 255) + 1],
-                                       acc >> 8)),
-                   4294967295::BIGINT) AS crc
-        FROM tb
-    ),
-    {mix64_ctes('sm', 'tcrc', 'url',
-                f'(crc::HUGEINT + clen::HUGEINT * 4294967296::HUGEINT '
-                f'+ {sim_seed}) % {U64_MOD}')},
-    simbits AS (
-        SELECT url, j, sum(((x >> j) & 1)::BIGINT) AS cnt, count(*) AS n
-        FROM sm5, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) _
-        GROUP BY url, j
-    ),
-    simh AS MATERIALIZED (
-        SELECT r.url, coalesce(s.simhash, 0::HUGEINT) AS simhash
-        FROM reps r LEFT JOIN (
-            SELECT url, sum(CASE WHEN 2*cnt > n THEN (1::HUGEINT << j)
-                                 ELSE 0::HUGEINT END) AS simhash
-            FROM simbits GROUP BY url
-        ) s USING (url)
-    ),
+    -- ---- simhash over word tokens of the rep text (shared block) -------
+    {simhash_sig_ctes('url', 'reps', 'etext', sim_seed)},
     -- ---- winnowing anchors: {aw}-byte windows, hash % {amod} == 0 ------
-    arollp AS (
-        SELECT url, w,
-               sum(b::HUGEINT * ({pow_a})[({aw} - 1 - p + w) + 1])
-                 % {U64_MOD} AS poly
-        FROM dbytes,
-             LATERAL (SELECT unnest(generate_series(greatest(1, p - {aw - 1}),
-                                                    least(n - {aw - 1}, p))) AS w) _
-        WHERE n >= {amin_len}
-        GROUP BY url, w
-    ),
+    {roll_poly_cte('arollp', 'url', aw, where=f'n >= {amin_len}')},
     {mix64_ctes('am', 'arollp', 'url', 'poly')},
     anch AS MATERIALIZED (  -- signed int64 bit-view, like the numpy path
         SELECT DISTINCT url, {u64_bigint('x')} AS anchor

@@ -337,11 +337,10 @@ def _fingerprint_oracle_sql() -> str:
     single-reference CTE projections so DuckDB never duplicates
     subexpressions.
     """
-    from ..functions.sqlgen import (U64_MOD, bytes_cte, crc32_list_sql,
-                                    mix64_ctes, pow_list_sql, u64_bigint)
+    from ..functions.sqlgen import (bytes_cte, crc32_list_sql, mix64_ctes,
+                                    roll_poly_cte, u64_bigint)
 
     k = 32
-    pow_list = pow_list_sql(1000000007, k)
     crc_list = crc32_list_sql()
 
     return f"""
@@ -356,16 +355,7 @@ def _fingerprint_oracle_sql() -> str:
                    4294967295::BIGINT) AS whole
         FROM dbytes GROUP BY doc_id
     ),
-    poly AS (  -- byte at p contributes b*base^({k}-1-p+w) to window w
-        SELECT doc_id, w,
-               sum(b::HUGEINT * ({pow_list})[({k} - 1 - p + w) + 1])
-                 % {U64_MOD} AS poly
-        FROM dbytes,
-             LATERAL (SELECT unnest(generate_series(greatest(1, p - {k - 1}),
-                                                    least(n - {k - 1}, p))) AS w) _
-        WHERE n >= {k}
-        GROUP BY doc_id, w
-    ),
+    {roll_poly_cte('poly', 'doc_id', k)},
     {mix64_ctes('m', 'poly', 'doc_id', 'poly')},
     minh AS (SELECT doc_id, min(x) AS mn FROM m5 GROUP BY doc_id),
     fp AS (  -- < {k} bytes → no windows → fingerprint is the crc alone

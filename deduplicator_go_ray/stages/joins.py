@@ -145,7 +145,15 @@ def broadcast_semi_filter(
     (≙ `SELECT COUNT(*) WHERE hash=$1` per candidate, files/import.go:269-281
     — but a vectorized Arrow ``is_in`` per batch instead of an N+1
     lookup or a per-row Python set probe)."""
-    ref = ray.put(pa.array(list(set(keys))))
+    key_list = list(set(keys))
+    if not key_list:
+        # pa.array([]) infers a null type and is_in raises on typed
+        # columns; the answer needs no probe anyway
+        if anti:
+            return ds
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow")
+    ref = ray.put(pa.array(key_list))
 
     def f(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
