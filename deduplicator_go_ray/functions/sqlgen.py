@@ -215,6 +215,13 @@ def simhash_sig_ctes(id_col: str, src: str, text_col: str,
     (crc32 + charlen·2^32 + seed → splitmix64), majority-vote the 64
     bit positions.
 
+    Parity caveat: Python's ``str.lower`` and DuckDB's utf8proc
+    lowercase disagree on a handful of special casings (e.g. ``İ`` →
+    ``i`` + combining dot vs plain ``i``), so exact parity assumes text
+    without such characters — trivially true for the ASCII oracle
+    corpus; NFC/NFD latin, digits, CJK and punctuation were fuzzed
+    clean.
+
     Emits CTE names toks/tb/tcrc/sm*/simbits/simh — callers must not
     reuse them.  Row eligibility is the caller's concern (``simh``
     covers every ``src`` row).
