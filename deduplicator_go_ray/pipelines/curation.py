@@ -692,3 +692,67 @@ register(
     GROUP BY word ORDER BY cnt DESC, word LIMIT {_TOP_WORDS}
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# training-shard packing: deterministic token-budget shard assignment
+# --------------------------------------------------------------------------
+#
+# Shard assembly for training corpora: documents pack into shards of
+# ~SHARD_TOKEN_BUDGET tokens.  The rule is coordination-free and
+# cumsum-expressible — within each source (the partition key; any
+# hash-bucketed key works at scale), docs in doc_id order join shard
+# floor(tokens_before / budget), so a shard may exceed the budget by at
+# most one document.  No sequential state crosses partition boundaries:
+# every group packs independently in one vectorized pass after a single
+# hash shuffle on the key.
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+def pack_shards(sf_dir: str) -> "ray.data.Dataset":
+    from ..pipelines.textqc import _token_counts
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def counted(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tokens": pa.array(_token_counts(t["text"].to_pylist()),
+                                 pa.int64()),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        cum = df.groupby("source", sort=False)["n_tokens"].cumsum()
+        before = cum - df["n_tokens"]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "shard_id": (before // SHARD_TOKEN_BUDGET).astype("int64"),
+            "n_tokens": df["n_tokens"].astype("int64"),
+        })
+
+    return grouped_apply(docs.map_batches(counted, batch_format="pyarrow"),
+                         ["source"], pack)
+
+
+register(
+    "pack_shards",
+    pack_shards,
+    f"""
+    WITH c AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id,
+           n_tokens
+    FROM c
+    """,
+)
