@@ -197,3 +197,22 @@ def test_top_words_counts_total(registry):
             FROM '{SF_DIR}/documents.parquet')
             SELECT COUNT(*) FROM words WHERE w = '{w}'""").fetchone()[0]
     assert out.iloc[0]["cnt"] == truth
+
+
+def test_source_stats_null_lang(ray_session, tmp_path):
+    """A null lang row counts as non-English instead of crashing the
+    int cast — regression for the pc.equal null-propagation fix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deduplicator_go_ray.pipelines.curation import source_stats
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", "c d", "e f"], pa.string()),
+        "lang": pa.array(["en", None, "de"], pa.string()),
+        "source": pa.array(["s0", "s0", "s0"], pa.string()),
+        "n_chars": pa.array([3, 3, 3], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = source_stats(str(tmp_path)).to_pandas()
+    assert int(out.loc[out["source"] == "s0", "n_en"].iloc[0]) == 1

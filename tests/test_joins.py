@@ -48,3 +48,21 @@ def test_keyed_anti_equals_broadcast(data):
     assert len(b) > 0
     # int64 payloads survive bit-exact through the shuffle
     assert s["big"].dtype == np.int64
+
+
+def test_broadcast_semi_filter_empty_keys(ray_session):
+    """Empty key set: semi keeps nothing, anti keeps everything —
+    regression for the pa.array([])-infers-null-type is_in crash."""
+    import pyarrow as pa
+    import ray.data
+
+    from deduplicator_go_ray.stages.joins import broadcast_semi_filter
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    }))
+    assert broadcast_semi_filter(ds, "k", set()).count() == 0
+    assert broadcast_semi_filter(ds, "k", set(), anti=True).count() == 3
+    # int-typed key column takes the same path
+    assert broadcast_semi_filter(ds, "v", set()).count() == 0
