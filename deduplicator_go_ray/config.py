@@ -181,7 +181,16 @@ class PipelineConfig:
     # candidate endpoint, two whole pipeline barriers.  Above it, the
     # semi-filter keeps per-worker memory proportional to the candidate
     # endpoint set instead of the rep set.
-    verify_direct_max_bytes: int = 512 << 20
+    #
+    # The budget is a PER-NODE OBJECT-STORE allowance, not a per-worker
+    # heap: the index is built by one task and every worker maps it
+    # zero-copy from plasma (stages/buckets.py:_shared_index), so one
+    # node pays one copy.  4 GiB ≈ 4M reps per node before the flood
+    # plan engages — measured at 500k pages / 16 cpus, the direct-refs
+    # plan is ~3× faster end-to-end than the flood exchanges, which
+    # remain the correct plan only once the index outgrows node memory
+    # (BENCH/flood_plan_ab.md).
+    verify_direct_max_bytes: int = 4 << 30
     # reduce-partition count for the fused bucket shuffle; more
     # partitions = smaller reducers and better overlap (tuned on the
     # 200k bench corpus; scale with cluster size at real scale).

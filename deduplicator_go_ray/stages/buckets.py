@@ -706,6 +706,41 @@ def _attach_payload_partitioned(
     e = edges.map_batches(tag_e, batch_format="pyarrow")
     p = payload.map_batches(tag_p, batch_format="pyarrow")
 
+    if endpoint in int_cols:  # int64 uid keys (the 64-bit mode)
+        # int64-keyed fast path: the whole inner join is numpy index
+        # arithmetic + two Arrow takes — no pandas frame, no Python
+        # object per payload blob (to_pandas on fixed-width binary
+        # cells dominated the flood verify at web scale)
+        def merge_arrow(full: pa.Table) -> pa.Table:
+            m = np.asarray(full["__m"], dtype=np.int8)
+            k = np.asarray(full["__k"], dtype=np.int64)
+            pay_rows = np.flatnonzero(m == 1)
+            edge_rows = np.flatnonzero(m == 0)
+            drop = [c for c in (out_col, "__m", "__k")
+                    if c in full.column_names]
+            base = full.drop_columns(drop)
+            if pay_rows.size == 0 or edge_rows.size == 0:
+                empty = pa.array(np.empty(0, np.int64))
+                return base.take(empty).append_column(
+                    out_col, full[out_col].take(empty))
+            pk = k[pay_rows]
+            order = np.argsort(pk, kind="stable")
+            pk_sorted = pk[order]
+            first = np.r_[True, pk_sorted[1:] != pk_sorted[:-1]]
+            pk_u = pk_sorted[first]                 # unique keys (first wins)
+            prow = pay_rows[order][first]           # full-row idx per key
+            pos = np.searchsorted(pk_u, k[edge_rows])
+            pos = np.minimum(pos, pk_u.size - 1)
+            hit = pk_u[pos] == k[edge_rows]
+            keep_e = edge_rows[hit]                 # inner join
+            take_p = prow[pos[hit]]
+            out = base.take(pa.array(keep_e))
+            return out.append_column(out_col, full[out_col].take(
+                pa.array(take_p)))
+
+        return grouped_apply(e.union(p), ["__k"], merge_arrow,
+                             num_partitions=num_partitions, arrow_fn=True)
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         is_p = df["__m"] == 1
         pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
@@ -758,16 +793,30 @@ def verify_near_edges_partitioned(
         blobs, "v", "sig_v", num_partitions, int_cols=edge_ints)
     thr = cfg.verify_threshold
 
+    def _sig_matrix(col, n: int) -> np.ndarray:
+        """(n, P) uint64 view of a fixed_size_binary(P*8) column — one
+        buffer view, no per-row Python bytes."""
+        arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        if isinstance(arr, pa.ChunkedArray):
+            arr = (arr.chunk(0) if arr.num_chunks == 1
+                   else pa.concat_arrays(list(arr.chunks)) if arr.num_chunks
+                   else pa.array([], col.type))
+        if pa.types.is_fixed_size_binary(arr.type):
+            buf = arr.buffers()[1]
+            flat = np.frombuffer(buf, dtype=np.uint64,
+                                 count=(arr.offset + n) * P)[arr.offset * P:]
+            return flat.reshape(n, P)
+        return np.frombuffer(b"".join(arr.to_pylist()),
+                             dtype=np.uint64).reshape(n, P)
+
     def score(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
             return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
                              "v": pa.array([], uid_pa_type(uid_bits)),
                              "kind": pa.array([], pa.int8())})
-        a = np.frombuffer(b"".join(batch["sig_u"].to_pylist()),
-                          dtype=np.uint64).reshape(n, P)
-        bb = np.frombuffer(b"".join(batch["sig_v"].to_pylist()),
-                           dtype=np.uint64).reshape(n, P)
+        a = _sig_matrix(batch["sig_u"], n)
+        bb = _sig_matrix(batch["sig_v"], n)
         keep = (a == bb).mean(axis=1) >= thr
         m = pa.array(keep)
         return pa.table({

@@ -96,6 +96,7 @@ def grouped_apply(
     num_partitions: int = 64,
     packed: bool = True,
     empty_result: pa.Table | None = None,
+    arrow_fn: bool = False,
 ) -> "ray.data.Dataset":
     """Hash-partition `ds` on `keys`, then run `partition_fn` once per
     partition over a pandas frame containing only complete key-groups.
@@ -116,10 +117,18 @@ def grouped_apply(
     output schema.  When given, a sentinel row rides the exchange so
     the result carries that schema even when `ds` is fully empty —
     otherwise Ray emits schema-less empty bundles that leak
-    "different schema" warnings into downstream unions."""
+    "different schema" warnings into downstream unions.
+
+    ``arrow_fn=True`` (packed mode only): `partition_fn` receives the
+    concatenated partition as a **pyarrow Table** and must return one —
+    skipping the ``to_pandas`` round-trip, which materializes a Python
+    object per cell and dominates wall time when rows carry wide binary
+    payloads (the flood-verify signature blobs)."""
 
     _enable_hash_shuffle()
     hash_parts = _hash_partitions(num_partitions)
+    if arrow_fn and not packed:
+        raise ValueError("arrow_fn requires packed=True")
     if not packed:
         def add_part(batch: pa.Table) -> pa.Table:
             part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
@@ -169,6 +178,8 @@ def grouped_apply(
             return empty_result if empty_result is not None else pd.DataFrame()
         # unioned inputs may disagree on column ORDER — unify by name
         full = pa.concat_tables(tables, promote_options="default")
+        if arrow_fn:
+            return partition_fn(full).replace_schema_metadata(None)
         out = partition_fn(full.to_pandas())
         # pin the output block to Arrow: heterogeneous pandas/arrow
         # block schemas otherwise leak PandasBlockSchema into downstream
