@@ -26,6 +26,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+# per-worker-process cache for broadcast_lookup's deserialized probe
+# index (one entry — lookups are per-pipeline-stage, not concurrent)
+_LOOKUP_CACHE: dict = {}
+
 
 def join_on(
     left: "ray.data.Dataset",
@@ -254,12 +258,33 @@ def broadcast_lookup(
 
         return ds.map_batches(f_int, batch_format="pyarrow")
 
-    ref = ray.put(dict(mapping))
+    # generic fallback (string / bytes keys — e.g. 128-bit uids as
+    # fixed_size_binary(16)): ship keys+values once, build a pandas
+    # Index per worker (cached — ray.get of a dict re-deserializes per
+    # call, and dict.get per row is per-row Python in a corpus-wide
+    # stage), probe via get_indexer (C hashing), gather by position
+    ref = ray.put((list(mapping.keys()), list(mapping.values())))
 
     def f(batch: pa.Table) -> pa.Table:
-        mp = ray.get(ref)
-        vals = [mp.get(v, default) for v in batch[key].to_pylist()]
-        arr = pa.array(vals, out_type) if out_type is not None else pa.array(vals)
+        ck = ("lookup_idx", ref.hex())
+        cached = _LOOKUP_CACHE.get(ck)
+        if cached is None:
+            ks, vs = ray.get(ref)
+            cached = (pd.Index(ks), np.asarray(vs, dtype=object))
+            _LOOKUP_CACHE.clear()
+            _LOOKUP_CACHE[ck] = cached
+        idx, vals_np = cached
+        if vals_np.size == 0:
+            out_list = [default] * len(batch)
+        else:
+            pos = idx.get_indexer(batch[key].to_pandas())
+            hit = pos >= 0
+            out_list = vals_np[np.where(hit, pos, 0)].tolist()
+            if not hit.all():
+                for i in np.flatnonzero(~hit):
+                    out_list[i] = default
+        arr = (pa.array(out_list, out_type) if out_type is not None
+               else pa.array(out_list))
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(f, batch_format="pyarrow")
