@@ -398,3 +398,170 @@ register(
          = substr(b.text, 1, {MEDIA_PREFIX_CHARS})
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# near-dup-gated ingest: incoming batch vs existing corpus
+# --------------------------------------------------------------------------
+
+GATE_EX_CAP = 8     # existing-side candidates per band bucket, det. by id
+GATE_MOD = 3        # incoming batch = doc_id % GATE_MOD == 0 (det. split)
+
+
+def _side_sigs(sf_dir: str, incoming: bool) -> "ray.data.Dataset":
+    """MinHash signatures for one side of the deterministic
+    incoming/existing split of ``documents`` — dedup_queries._doc_sigs'
+    page adapter with the side filter pushed before the signature pass,
+    so each side streams independently and nothing corpus-sized is
+    collected."""
+    def side(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        hit = ids % GATE_MOD == 0
+        return t.filter(pa.array(hit if incoming else ~hit))
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        side, batch_format="pyarrow")
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"{i:012d}" for i in ids], pa.string()),
+            "text": t["text"],
+            "n_bytes": pa.array([len(x.encode()) for x in texts],
+                                pa.int64()),
+        })
+
+    from .dedup import _signature_cached
+
+    return (docs.map_batches(to_pages, batch_format="pyarrow")
+            .map_batches(_signature_cached, batch_format="pyarrow",
+                         batch_size=512).materialize())
+
+
+def import_near_gate(sf_dir: str) -> pd.DataFrame:
+    """Near-dup-gated ingest: the reference's import dedup gate
+    (``files/import.go:269-281`` — skip an incoming file whose content
+    hash already exists in the target) generalized from exact content
+    identity to MinHash-LSH near-dup identity, the incremental-snapshot
+    shape of a web corpus refresh: incoming docs (the deterministic
+    1-in-{GATE_MOD} sample ``doc_id % GATE_MOD == 0`` — the repo's
+    ``sample_mod`` split convention) are admitted only if no existing
+    doc (the remainder) shares a verified band collision (est. Jaccard
+    >= verify_threshold); blocked docs report the smallest matching
+    existing doc as evidence (``match_id``; -1 when admitted).
+
+    Scale shape: both sides stream through the signature stage
+    independently; candidates come from ONE hash shuffle on band_key
+    where each bucket contributes (incoming x first GATE_EX_CAP
+    existing by doc id) pairs — per-incoming emission is bounded by
+    bands x GATE_EX_CAP regardless of bucket skew, and the cap is part
+    of the operator's definition (replicated exactly in the SQL
+    oracle), not a silent truncation."""
+    from ..stages.common import dedupe_rows
+    from ..stages.lsh import band_rows, verify_edges_smallset
+
+    cfg = MinHashConfig()
+    sigs_in = _side_sigs(sf_dir, incoming=True)
+    sigs_ex = _side_sigs(sf_dir, incoming=False)
+
+    def tag(ds, flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_ex", pa.array(np.full(len(t), flag, np.int8)))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    bands = tag(band_rows(sigs_in, cfg), 0).union(
+        tag(band_rows(sigs_ex, cfg), 1))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        # one row per (band_key, doc) per side — a doc whose bands fold
+        # to the same key twice must not shift the existing-side rank
+        # (the oracle ranks over DISTINCT (band_key, doc_id))
+        df = df.drop_duplicates(["band_key", "url", "is_ex"])
+        ex = df[df["is_ex"] == 1].sort_values(["band_key", "url"])
+        ex = ex[ex.groupby("band_key").cumcount() < GATE_EX_CAP]
+        inc = df.loc[df["is_ex"] == 0, ["band_key", "url"]]
+        pairs = inc.merge(ex[["band_key", "url"]], on="band_key",
+                          suffixes=("_u", "_v"))
+        return pd.DataFrame({"u": pairs["url_u"], "v": pairs["url_v"]})
+
+    cand = dedupe_rows(
+        grouped_apply(bands, ["band_key"], emit), ["u", "v"]).materialize()
+    hits = pd.DataFrame({"u": pd.Series(dtype=object),
+                         "v": pd.Series(dtype=object)})
+    if cand.count() > 0:
+        ver = verify_edges_smallset(cand, sigs_in.union(sigs_ex), cfg)
+        hits = ver.select_columns(["u", "v"]).to_pandas()
+
+    def inc_only(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return t.filter(pa.array(ids % GATE_MOD == 0))
+
+    out = (_read_docs(sf_dir, ["doc_id"])
+           .map_batches(inc_only, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    if len(hits):
+        m = (pd.DataFrame({"u": hits["u"].astype(np.int64),
+                           "v": hits["v"].astype(np.int64)})
+             .groupby("u")["v"].min())
+        out["match_id"] = out["doc_id"].map(m).fillna(-1).astype("int64")
+    else:
+        out["match_id"] = np.full(len(out), -1, np.int64)
+    out["admitted"] = out["match_id"] < 0
+    return out[["doc_id", "admitted", "match_id"]]
+
+
+def _near_gate_oracle_sql() -> str:
+    """DuckDB re-derivation of the whole gate: the shared shingle ->
+    OPH -> band-key SQL kernels (functions/sqlgen.py, bit-equal to the
+    numpy SignatureStage), modulo-split band rows, the deterministic
+    GATE_EX_CAP existing-side rank per bucket, slot-equality verify,
+    and the per-incoming min-match reduction."""
+    from ..functions.sqlgen import band_key_ctes, bytes_cte, oph_sig_ctes
+
+    cfg = MinHashConfig()
+    min_eq = next(n for n in range(cfg.num_perms + 1)
+                  if n / cfg.num_perms >= cfg.verify_threshold)
+    return f"""
+    WITH
+    {bytes_cte()},
+    {oph_sig_ctes('doc_id', cfg.shingle_k, cfg.num_perms)},
+    {band_key_ctes('doc_id', cfg.bands, cfg.rows)},
+    bkd AS MATERIALIZED (SELECT DISTINCT band_key, doc_id FROM bandkeys),
+    exr AS (
+        SELECT band_key, doc_id,
+               row_number() OVER (PARTITION BY band_key
+                                  ORDER BY doc_id) AS rk
+        FROM bkd WHERE doc_id % {GATE_MOD} <> 0
+    ),
+    inr AS (
+        SELECT band_key, doc_id
+        FROM bkd WHERE doc_id % {GATE_MOD} = 0
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT i.doc_id AS u, e.doc_id AS v
+        FROM inr i JOIN exr e
+          ON e.band_key = i.band_key AND e.rk <= {GATE_EX_CAP}
+    ),
+    ver AS (
+        SELECT e.u, e.v,
+               sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+        FROM edges e
+        JOIN sig sa ON sa.doc_id = e.u
+        JOIN sig sb ON sb.doc_id = e.v AND sb.j = sa.j
+        GROUP BY e.u, e.v
+    ),
+    hits AS (
+        SELECT u, min(v) AS match_id FROM ver
+        WHERE neq >= {min_eq} GROUP BY u
+    )
+    SELECT d.doc_id AS doc_id,
+           (h.match_id IS NULL) AS admitted,
+           COALESCE(h.match_id, -1) AS match_id
+    FROM documents d LEFT JOIN hits h ON h.u = d.doc_id
+    WHERE d.doc_id % {GATE_MOD} = 0
+    """
+
+
+register("import_near_gate", import_near_gate, _near_gate_oracle_sql())

@@ -208,3 +208,19 @@ def test_delete_survivors_idempotent(registry, ray_session):
     gone = set(plan.loc[plan["status"] == "deleted", "doc_id"])
     left = {r["doc_id"] for r in once.select_columns(["doc_id"]).take_all()}
     assert gone.isdisjoint(left)
+
+
+def test_import_near_gate_blocks_cross_split_dups(registry):
+    """The near-dup import gate must block incoming docs with a
+    verified near-dup on the existing side of the deterministic split,
+    report an existing-side doc as evidence, and use the -1 sentinel
+    for admitted rows."""
+    from deduplicator_go_ray.pipelines.parity_queries import GATE_MOD
+
+    out = registry["import_near_gate"](SF_DIR)
+    assert (out["doc_id"] % GATE_MOD == 0).all()
+    blocked = out[~out["admitted"]]
+    assert len(blocked) > 0
+    # evidence ids come from the existing (non-sample) side
+    assert (blocked["match_id"] % GATE_MOD != 0).all()
+    assert (out.loc[out["admitted"], "match_id"] == -1).all()
