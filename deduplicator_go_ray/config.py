@@ -189,7 +189,10 @@ class PipelineConfig:
     # plan engages — measured at 500k pages / 16 cpus, the direct-refs
     # plan is ~3× faster end-to-end than the flood exchanges, which
     # remain the correct plan only once the index outgrows node memory
-    # (BENCH/flood_plan_ab.md).
+    # (BENCH/flood_plan_ab.md).  The budget is additionally clamped at
+    # plan time to 25% of the session's actual object-store capacity
+    # (pipelines/dedup.py) so a small-plasma node never picks an index
+    # it cannot hold.
     verify_direct_max_bytes: int = 4 << 30
     # reduce-partition count for the fused bucket shuffle; more
     # partitions = smaller reducers and better overlap (tuned on the

@@ -264,9 +264,17 @@ def run_dedup(
     # flat 1.5×/1.4× at 4→16 cpus vs 2.6-3.4× elsewhere).  Only the
     # direct-refs plan can use a url-keyed prebuilt index; the flood
     # path drops the refs and plasma reclaims the objects.
+    # the configured budget is a per-node plasma allowance — clamp it
+    # to what THIS cluster's object store can actually hold (the index
+    # is one monolithic plasma object; letting it dominate the store
+    # forces spill/ObjectStoreFullError where the flood plan would have
+    # streamed fine)
+    store_bytes = ray.cluster_resources().get("object_store_memory", 0)
+    budget = cfg.verify_direct_max_bytes
+    if store_bytes:
+        budget = min(budget, int(store_bytes * 0.25))
     direct_plan = (cfg.uid_bits == 64
-                   and n_reps * cfg.minhash.num_perms * 8
-                   <= cfg.verify_direct_max_bytes)
+                   and n_reps * cfg.minhash.num_perms * 8 <= budget)
     near_idx_ref = cont_idx_ref = None
     if direct_plan and n_reps:
         from ..stages.buckets import prebuild_direct_index

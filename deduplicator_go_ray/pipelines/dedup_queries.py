@@ -201,8 +201,14 @@ register(
 # ngram pairs is asserted in tests/)
 # --------------------------------------------------------------------------
 
-def _doc_sigs(sf_dir: str, compute_anchors: bool = False) -> "ray.data.Dataset":
+def _doc_sigs(sf_dir: str, compute_anchors: bool = False,
+              row_filter=None) -> "ray.data.Dataset":
+    """``row_filter``: optional pyarrow batch→batch predicate applied
+    before the page adapter (e.g. the import gate's split), so callers
+    share ONE doc→page→signature plumbing."""
     docs = _read_docs(sf_dir, ["doc_id", "text"])
+    if row_filter is not None:
+        docs = docs.map_batches(row_filter, batch_format="pyarrow")
 
     def to_pages(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()

@@ -411,32 +411,17 @@ GATE_MOD = 3        # incoming batch = doc_id % GATE_MOD == 0 (det. split)
 def _side_sigs(sf_dir: str, incoming: bool) -> "ray.data.Dataset":
     """MinHash signatures for one side of the deterministic
     incoming/existing split of ``documents`` — dedup_queries._doc_sigs'
-    page adapter with the side filter pushed before the signature pass,
-    so each side streams independently and nothing corpus-sized is
-    collected."""
+    shared doc→page→signature plumbing with the side filter pushed
+    before the signature pass, so each side streams independently and
+    nothing corpus-sized is collected."""
+    from .dedup_queries import _doc_sigs
+
     def side(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"], dtype=np.int64)
         hit = ids % GATE_MOD == 0
         return t.filter(pa.array(hit if incoming else ~hit))
 
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        side, batch_format="pyarrow")
-
-    def to_pages(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        return pa.table({
-            "url": pa.array([f"{i:012d}" for i in ids], pa.string()),
-            "text": t["text"],
-            "n_bytes": pa.array([len(x.encode()) for x in texts],
-                                pa.int64()),
-        })
-
-    from .dedup import _signature_cached
-
-    return (docs.map_batches(to_pages, batch_format="pyarrow")
-            .map_batches(_signature_cached, batch_format="pyarrow",
-                         batch_size=512).materialize())
+    return _doc_sigs(sf_dir, row_filter=side)
 
 
 def import_near_gate(sf_dir: str) -> pd.DataFrame:
@@ -502,10 +487,17 @@ def import_near_gate(sf_dir: str) -> pd.DataFrame:
            .map_batches(inc_only, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     if len(hits):
+        # searchsorted probe keeps ids int64 end-to-end (Series.map +
+        # fillna would round-trip through float64, lossy above 2^53)
         m = (pd.DataFrame({"u": hits["u"].astype(np.int64),
                            "v": hits["v"].astype(np.int64)})
              .groupby("u")["v"].min())
-        out["match_id"] = out["doc_id"].map(m).fillna(-1).astype("int64")
+        keys = m.index.to_numpy(np.int64)
+        vals = m.to_numpy(np.int64)
+        q = out["doc_id"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(keys, q), keys.size - 1)
+        hit = keys[pos] == q
+        out["match_id"] = np.where(hit, vals[pos], -1)
     else:
         out["match_id"] = np.full(len(out), -1, np.int64)
     out["admitted"] = out["match_id"] < 0

@@ -675,12 +675,17 @@ def _attach_payload_partitioned(
     out_col: str,
     num_partitions: int = 128,
     int_cols: "dict[str, pa.DataType] | None" = None,
+    out_type: "pa.DataType | None" = None,
 ) -> "ray.data.Dataset":
     """Inner-join ``payload`` (uid, value) onto edge rows keyed by the
     ``endpoint`` column — one hash-partitioned packed shuffle, pandas
     merge per partition.  Building block of the flood-verify fallback.
     ``int_cols`` (edge-side integer columns) must be passed when the
-    edges dataset is lazy (schema unknown without executing)."""
+    edges dataset is lazy (schema unknown without executing).
+    ``out_type`` types the ``out_col`` of partitions that received no
+    payload rows at all (edges whose endpoint is absent from the
+    payload table — the concat then carries no ``out_col`` to
+    null-pad)."""
     if int_cols is None:
         e_schema = edges.schema(fetch_if_missing=False)
         int_cols = ({n: t for n, t in zip(e_schema.names, e_schema.types)
@@ -721,8 +726,10 @@ def _attach_payload_partitioned(
             base = full.drop_columns(drop)
             if pay_rows.size == 0 or edge_rows.size == 0:
                 empty = pa.array(np.empty(0, np.int64))
+                typ = (full[out_col].type if out_col in full.column_names
+                       else (out_type or pa.null()))
                 return base.take(empty).append_column(
-                    out_col, full[out_col].take(empty))
+                    out_col, pa.array([], typ))
             pk = k[pay_rows]
             order = np.argsort(pk, kind="stable")
             pk_sorted = pk[order]
@@ -743,9 +750,13 @@ def _attach_payload_partitioned(
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         is_p = df["__m"] == 1
-        pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
         eg = df.loc[~is_p].drop(
             columns=[c for c in (out_col, "__m") if c in df.columns])
+        if out_col not in df.columns:     # edge-only partition
+            out = eg.head(0).copy()
+            out[out_col] = pd.Series(dtype=object)
+            return out.drop(columns="__k")
+        pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
         return eg.merge(pay, on="__k", how="inner").drop(columns="__k")
 
     return grouped_apply(e.union(p), ["__k"], merge,
@@ -787,20 +798,22 @@ def verify_near_edges_partitioned(
     blobs = _sig_blob_table(sigs, P, uid_bits)
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
+    sig_t = pa.binary(P * 8)
     both = _attach_payload_partitioned(
         _attach_payload_partitioned(edges, blobs, "u", "sig_u",
-                                    num_partitions, int_cols=edge_ints),
-        blobs, "v", "sig_v", num_partitions, int_cols=edge_ints)
+                                    num_partitions, int_cols=edge_ints,
+                                    out_type=sig_t),
+        blobs, "v", "sig_v", num_partitions, int_cols=edge_ints,
+        out_type=sig_t)
     thr = cfg.verify_threshold
 
     def _sig_matrix(col, n: int) -> np.ndarray:
         """(n, P) uint64 view of a fixed_size_binary(P*8) column — one
-        buffer view, no per-row Python bytes."""
-        arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        buffer view, no per-row Python bytes (n > 0 by the caller's
+        early return, so combine_chunks yields one populated chunk)."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if isinstance(arr, pa.ChunkedArray):
-            arr = (arr.chunk(0) if arr.num_chunks == 1
-                   else pa.concat_arrays(list(arr.chunks)) if arr.num_chunks
-                   else pa.array([], col.type))
+            arr = arr.chunk(0)
         if pa.types.is_fixed_size_binary(arr.type):
             buf = arr.buffers()[1]
             flat = np.frombuffer(buf, dtype=np.uint64,
@@ -854,8 +867,10 @@ def verify_containment_edges_partitioned(
                  if uid_bits == 64 else {"kind": pa.int8()})
     both = _attach_payload_partitioned(
         _attach_payload_partitioned(pairs, blobs, "u", "text_u",
-                                    num_partitions, int_cols=edge_ints),
-        blobs, "v", "text_v", num_partitions, int_cols=edge_ints)
+                                    num_partitions, int_cols=edge_ints,
+                                    out_type=pa.string()),
+        blobs, "v", "text_v", num_partitions, int_cols=edge_ints,
+        out_type=pa.string())
 
     def check(batch: pa.Table) -> pa.Table:
         keep = [bool(ta) and bool(tb) and (ta in tb)

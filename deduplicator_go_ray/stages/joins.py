@@ -27,7 +27,8 @@ import ray
 import ray.data
 
 # per-worker-process cache for broadcast_lookup's deserialized probe
-# index (one entry — lookups are per-pipeline-stage, not concurrent)
+# indexes (FIFO-bounded via common.bounded_cache_put — two lookup
+# stages of one topology may interleave batches in the same worker)
 _LOOKUP_CACHE: dict = {}
 
 
@@ -266,13 +267,15 @@ def broadcast_lookup(
     ref = ray.put((list(mapping.keys()), list(mapping.values())))
 
     def f(batch: pa.Table) -> pa.Table:
+        from .common import bounded_cache_put
+
         ck = ("lookup_idx", ref.hex())
         cached = _LOOKUP_CACHE.get(ck)
         if cached is None:
             ks, vs = ray.get(ref)
-            cached = (pd.Index(ks), np.asarray(vs, dtype=object))
-            _LOOKUP_CACHE.clear()
-            _LOOKUP_CACHE[ck] = cached
+            cached = bounded_cache_put(
+                _LOOKUP_CACHE, ck,
+                (pd.Index(ks), np.asarray(vs, dtype=object)))
         idx, vals_np = cached
         if vals_np.size == 0:
             out_list = [default] * len(batch)
