@@ -471,25 +471,46 @@ register("ann_lsh_exhaustive",
          _BRUTE_ORACLE)
 
 
-def embedding_clusters(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup CLUSTERS (rows-only): the flagship's
+def embedding_clusters(sf_dir: str,
+                       max_driver_edges: int = 5_000_000) -> pd.DataFrame:
+    """Embedding-cosine near-dup CLUSTERS: the flagship's
     pair→components→keeper shape applied to the vector modality —
-    cosine ≥ τ pairs merge via union-find, keeper = min vec_id."""
+    cosine ≥ τ pairs merge into components, keeper = min vec_id.
+    Components resolve through the flagship's size-aware switch
+    (stages/cluster.py:resolve_components): driver union-find below
+    ``max_driver_edges``, the distributed large-star/small-star label
+    propagation above it (both paths equality-tested)."""
     from ..pipelines.dedup_queries import embedding_dup_pairs
-    from ..stages.cluster import connected_components_driver
+    from ..stages.cluster import resolve_components
 
     pairs = embedding_dup_pairs(sf_dir)
-    mapping = connected_components_driver(
-        [(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])])
-    if not mapping:
+    if not len(pairs):
         return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
                              "cluster_root": pd.Series(dtype="int64"),
                              "is_keeper": pd.Series(dtype="bool")})
-    rows = sorted(mapping.items())
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array(pairs["id_a"].to_numpy(np.int64), pa.int64()),
+        "v": pa.array(pairs["id_b"].to_numpy(np.int64), pa.int64()),
+    }))
+    comp = (resolve_components(edges, max_driver_edges=max_driver_edges,
+                               key_type=pa.int64())
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    # the distributed path emits only non-root nodes; complete the frame
+    # over every edge endpoint (roots map to themselves)
+    nodes = np.unique(np.concatenate([
+        pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)]))
+    cu = comp["url"].to_numpy(np.int64)
+    cr = comp["root"].to_numpy(np.int64)
+    if cu.size:
+        pos = np.minimum(np.searchsorted(cu, nodes), cu.size - 1)
+        hit = cu[pos] == nodes
+        roots = np.where(hit, cr[pos], nodes)
+    else:
+        roots = nodes
     return pd.DataFrame({
-        "vec_id": [int(k) for k, _ in rows],
-        "cluster_root": [int(v) for _, v in rows],
-        "is_keeper": [int(k) == int(v) for k, v in rows],
+        "vec_id": nodes,
+        "cluster_root": roots,
+        "is_keeper": nodes == roots,
     })
 
 

@@ -224,3 +224,15 @@ def test_import_near_gate_blocks_cross_split_dups(registry):
     # evidence ids come from the existing (non-sample) side
     assert (blocked["match_id"] % GATE_MOD != 0).all()
     assert (out.loc[out["admitted"], "match_id"] == -1).all()
+
+
+def test_embedding_clusters_distributed_path_identical(registry, ray_session):
+    """The size-aware component switch must be invisible in the output:
+    forcing the distributed large-star/small-star path (max_driver_edges
+    = 0) yields the exact frame the driver union-find produces."""
+    from deduplicator_go_ray.pipelines.ann_queries import embedding_clusters
+
+    driver = embedding_clusters(SF_DIR)
+    dist = embedding_clusters(SF_DIR, max_driver_edges=0)
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True), dist.reset_index(drop=True))
