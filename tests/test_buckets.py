@@ -184,3 +184,71 @@ def test_simhash_pair_emission_equals_naive(ray_session):
         exp |= set(zip(uids[iu].tolist(), uids[jv].tolist()))
     assert len(exp) > 500          # dense enough to be a real check
     assert got_set == exp
+
+
+def test_attach_payload_partitioned_arrow_join(ray_session):
+    """The int64 Arrow fast-path of the flood-verify payload join must
+    equal a plain pandas inner merge: missing endpoints drop, each edge
+    row gets its endpoint's payload, edge columns ride unchanged."""
+    from deduplicator_go_ray.stages.buckets import _attach_payload_partitioned
+
+    rng = np.random.default_rng(7)
+    n_pay, n_edge = 200, 500
+    uids = rng.choice(10_000, size=n_pay, replace=False).astype(np.int64)
+    vals = [bytes(rng.integers(0, 256, 16, dtype=np.uint8).tobytes())
+            for _ in range(n_pay)]
+    payload = ray.data.from_arrow(pa.table({
+        "uid": pa.array(uids, pa.int64()),
+        "value": pa.array(vals, pa.binary(16)),
+    }))
+    u = rng.choice(12_000, n_edge).astype(np.int64)   # ~1/6 miss
+    v = rng.choice(12_000, n_edge).astype(np.int64)
+    kind = rng.integers(0, 3, n_edge).astype(np.int8)
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+        "kind": pa.array(kind, pa.int8()),
+    }))
+    int_cols = {"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+    got = _attach_payload_partitioned(
+        edges, payload, "u", "sig_u", num_partitions=8,
+        int_cols=int_cols, out_type=pa.binary(16)).to_pandas()
+
+    exp = (pd.DataFrame({"u": u, "v": v, "kind": kind})
+           .merge(pd.DataFrame({"u": uids, "sig_u": vals}),
+                  on="u", how="inner"))
+    key = ["u", "v", "kind", "sig_u"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    exp_s = exp[key].sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    pd.testing.assert_frame_equal(
+        got_s, exp_s, check_dtype=False)
+
+
+def test_attach_payload_partitioned_edge_only_partitions(ray_session):
+    """Partitions that receive edges but NO payload rows (endpoint
+    absent from the payload table) must contribute zero rows, not
+    crash: 2 payload uids + 64 partitions leaves most partitions
+    edge-only."""
+    from deduplicator_go_ray.stages.buckets import _attach_payload_partitioned
+
+    rng = np.random.default_rng(11)
+    uids = np.array([5, 9], dtype=np.int64)
+    payload = ray.data.from_arrow(pa.table({
+        "uid": pa.array(uids, pa.int64()),
+        "value": pa.array([b"A" * 16, b"B" * 16], pa.binary(16)),
+    }))
+    u = rng.choice(12_000, 300).astype(np.int64)
+    u[:3] = [5, 9, 5]                       # a few real hits
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array(u, pa.int64()),
+        "v": pa.array(rng.choice(12_000, 300).astype(np.int64), pa.int64()),
+        "kind": pa.array(np.zeros(300, np.int8), pa.int8()),
+    }))
+    int_cols = {"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
+    got = _attach_payload_partitioned(
+        edges, payload, "u", "sig_u", num_partitions=64,
+        int_cols=int_cols, out_type=pa.binary(16)).to_pandas()
+    n_hits = int((u == 5).sum() + (u == 9).sum())
+    assert len(got) == n_hits
+    assert set(got.loc[got["u"] == 5, "sig_u"]) == {b"A" * 16}
+    assert set(got.loc[got["u"] == 9, "sig_u"]) == {b"B" * 16}
