@@ -1,0 +1,81 @@
+"""Incremental signature store: content-keyed re-use across runs must
+be invisible in the output (byte-identical to a fresh compute) and must
+only run the kernels on content the store has never seen."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from deduplicator_go_ray.stages.exact import add_content_key
+from deduplicator_go_ray.state.sigstore import incremental_signatures
+
+
+def _pages(texts: dict[str, str]) -> "ray.data.Dataset":
+    urls = sorted(texts)
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array([texts[u] for u in urls], pa.string()),
+    })
+    return add_content_key(ray.data.from_arrow(tbl)).materialize()
+
+
+def _fresh(pages: "ray.data.Dataset") -> pd.DataFrame:
+    from deduplicator_go_ray.pipelines.dedup import _signature_cached
+
+    out = pages.map_batches(
+        _signature_cached, fn_kwargs={"compute_anchors": True},
+        batch_format="pyarrow", batch_size=512)
+    return _frame(out)
+
+
+def _frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    df = df[["url", "text_sha256", "minhash", "simhash", "n_shingles",
+             "anchors", "sig_error"]]
+    df["minhash"] = df["minhash"].map(tuple)
+    df["anchors"] = df["anchors"].map(tuple)
+    return df.sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture()
+def corpus():
+    base = {f"site{i:03d}/p": f"doc {i} " + ("lorem ipsum dolor " * 30)
+            + f"tail {i * 7}" for i in range(40)}
+    return base
+
+
+def test_incremental_signatures_store_roundtrip(ray_session, tmp_path, corpus):
+    store = str(tmp_path / "sigstore")
+    pages = _pages(corpus)
+
+    s1, n1 = incremental_signatures(pages, store)
+    assert n1 == len(corpus)                      # cold store: all compute
+    assert _frame(s1).equals(_fresh(pages))
+
+    s2, n2 = incremental_signatures(pages, store)
+    assert n2 == 0                                # warm store: zero compute
+    assert _frame(s2).equals(_fresh(pages))
+
+
+def test_incremental_signatures_changed_and_new_docs(ray_session, tmp_path,
+                                                     corpus):
+    store = str(tmp_path / "sigstore")
+    incremental_signatures(_pages(corpus), store)
+
+    corpus2 = dict(corpus)
+    corpus2["site007/p"] = corpus["site007/p"] + " EDITED"   # changed text
+    corpus2["site900/p"] = "a brand new page " * 20          # new doc
+    corpus2["site901/p"] = "another brand new page " * 20
+    pages2 = _pages(corpus2)
+
+    s3, n3 = incremental_signatures(pages2, store)
+    assert n3 == 3                      # one changed + two new keys only
+    assert _frame(s3).equals(_fresh(pages2))
+
+    # changed content ADDS a key (append-only store); old key remains
+    s4, n4 = incremental_signatures(pages2, store)
+    assert n4 == 0
+    assert _frame(s4).equals(_fresh(pages2))
