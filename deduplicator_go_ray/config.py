@@ -173,6 +173,14 @@ class PipelineConfig:
     # semi-filter + broadcast plan (verify_edges_smallset / containment
     # smallset); bigger sets fall back to partitioned joins.
     smallset_max_edges: int = 2_000_000
+    # optional content-keyed signature store (state/sigstore.py):
+    # when set, the flagship's signature phase re-uses stored
+    # signatures for content keys it has seen in previous runs and
+    # computes only unseen content — the reference's unchanged-skip
+    # (files/hash.go:18-35) applied to the near-dup tier.  A store is
+    # bound to one signature config; output is byte-identical to the
+    # full compute (equality-tested).
+    sig_store_dir: "str | None" = None
     # below the smallset ceiling there is a further choice: when the
     # FULL signature matrix (n_reps × num_perms × 8 B) fits this
     # budget, verification scores straight against the materialized

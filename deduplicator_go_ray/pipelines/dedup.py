@@ -195,9 +195,11 @@ def run_dedup(
         assignments = ray.data.from_arrow(_EMPTY_ASSIGN)
         return _finish(assignments, err, small, num_partitions)
 
+    rep_cols = ["url", "text", "n_bytes"] + (
+        ["text_sha256"] if cfg.sig_store_dir else [])
     if texts_through_shuffle:
         reps = members_full.map_batches(
-            lambda t: t.filter(t["is_rep"]).select(["url", "text", "n_bytes"]),
+            lambda t: t.filter(t["is_rep"]).select(rep_cols),
             batch_format="pyarrow").materialize()
         members = members_full.map_batches(
             lambda t: t.drop_columns(["text"]) if "text" in t.column_names else t,
@@ -214,7 +216,7 @@ def run_dedup(
                     .map_batches(rep_uid_batches, batch_format="pyarrow")
                     .materialize())
         reps = semi_filter_by_uid_refs(
-            ok, rep_uids, ["url", "text", "n_bytes"]).materialize()
+            ok, rep_uids, rep_cols).materialize()
     timer.tick("rep_texts")
 
     # ---- signatures on representatives only (candidate pruning §7.0) -------
@@ -224,7 +226,20 @@ def run_dedup(
         "substring": cfg.substring,
         "compute_anchors": cfg.run_substring_pass,
     }
-    if cfg.signature_concurrency is None:
+    if cfg.sig_store_dir:
+        # incremental signature store (state/sigstore.py): unchanged
+        # content keys re-use their stored signatures; only unseen
+        # content runs the kernels.  Output is byte-identical to the
+        # full compute (equality-tested), so every downstream stage is
+        # untouched.  Takes precedence over the actor-pool option.
+        from ..state.sigstore import incremental_signatures
+
+        sigs, _n_new = incremental_signatures(
+            reps, cfg.sig_store_dir, num_partitions=num_partitions,
+            sig_kwargs=sig_kwargs, passthrough=("n_bytes",))
+        sigs = sigs.materialize()
+        timer.note("sigs_computed", _n_new)
+    elif cfg.signature_concurrency is None:
         sigs = reps.map_batches(
             functools.partial(_signature_slim, **sig_kwargs),
             batch_format="pyarrow",

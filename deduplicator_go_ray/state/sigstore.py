@@ -98,7 +98,7 @@ def encode_sig_columns(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def decode_sig_columns(t: pa.Table) -> pa.Table:
+def decode_sig_columns(t: pa.Table, num_perms: int = _P) -> pa.Table:
     """Store wire schema (+ any leading columns, e.g. url) → canonical
     signature columns."""
     _, mh_flat = _bin_views(t["mh_blob"])
@@ -108,7 +108,7 @@ def decode_sig_columns(t: pa.Table) -> pa.Table:
             continue
         cols[c] = t[c]
     cols["minhash"] = pa.FixedSizeListArray.from_arrays(
-        pa.array(mh_flat.view(np.uint64), pa.uint64()), _P)
+        pa.array(mh_flat.view(np.uint64), pa.uint64()), num_perms)
     cols["simhash"] = pa.array(
         np.asarray(t["simhash_i64"], np.int64).view(np.uint64), pa.uint64())
     if "anchors_blob" in t.column_names:
@@ -123,32 +123,51 @@ def incremental_signatures(
     store_dir: str,
     num_partitions: int = 16,
     compute_anchors: bool = True,
+    sig_kwargs: dict | None = None,
+    passthrough: tuple = (),
 ) -> "tuple[ray.data.Dataset, int]":
     """Signatures for ``reps`` (url, text, text_sha256 — one row per
     content key, e.g. exact-class representatives), computing only rows
     whose content key is absent from the store and persisting those for
     the next run.
 
+    ``sig_kwargs`` are forwarded to the signature stage (a store is
+    bound to ONE signature config — num_perms and the anchors setting
+    are validated against the store schema on load); ``passthrough``
+    columns of ``reps`` (e.g. n_bytes) ride through to the output.
+
     Returns ``(sigs, n_computed)``: ``sigs`` carries
-    (url, text_sha256, *SIG_COLS) for every input row — byte-identical
-    to a fresh full compute (pinned by tests) — and ``n_computed`` is
-    how many rows actually ran the signature kernels this call.
+    (url, *passthrough, text_sha256, *SIG_COLS) for every input row —
+    byte-identical to a fresh full compute (pinned by tests) — and
+    ``n_computed`` is how many rows actually ran the signature kernels
+    this call.
     """
+    import functools
+
     from ..pipelines.dedup import _signature_cached
     from ..stages.joins import (broadcast_semi_filter, join_on,
                                 keyed_membership_filter)
 
-    out_cols = ["url", "text_sha256", *SIG_COLS]
+    sig_kwargs = dict(sig_kwargs or {})
+    sig_kwargs.setdefault("compute_anchors", compute_anchors)
+    compute_anchors = sig_kwargs["compute_anchors"]
+    num_perms = (sig_kwargs.get("minhash") or MinHashConfig()).num_perms
+
+    out_cols = ["url", *passthrough, "text_sha256", *SIG_COLS]
     if not compute_anchors:
         out_cols = [c for c in out_cols if c != "anchors"]
-    sig_kwargs = {"compute_anchors": compute_anchors}
 
     hits = None
     miss = reps
     if _store_files(store_dir):
         store = ray.data.read_parquet(store_dir)
+        has_anchors = "anchors_blob" in (store.schema().names or [])
+        if has_anchors != bool(compute_anchors):
+            raise ValueError(
+                "signature store anchors setting does not match this "
+                "run's config — a store is bound to one signature config")
         keys = store.select_columns(["text_sha256"]).materialize()
-        slim = reps.select_columns(["url", "text_sha256"])
+        slim = reps.select_columns(["url", *passthrough, "text_sha256"])
         if keys.count() <= BROADCAST_MAX_KEYS:
             key_set = {r["text_sha256"] for r in keys.take_all()}
             hits_in = broadcast_semi_filter(slim, "text_sha256", key_set)
@@ -163,7 +182,10 @@ def incremental_signatures(
                 num_partitions=num_partitions)
         hits = (join_on(hits_in, store, "text_sha256",
                         num_partitions=num_partitions)
-                .map_batches(decode_sig_columns, batch_format="pyarrow")
+                .map_batches(
+                    functools.partial(decode_sig_columns,
+                                      num_perms=num_perms),
+                    batch_format="pyarrow")
                 .select_columns(out_cols))
 
     computed = miss.map_batches(
@@ -174,8 +196,8 @@ def incremental_signatures(
     if n_computed:
         # append-only persist: new content keys only ever ADD files
         computed.select_columns(
-            ["text_sha256", *SIG_COLS] if compute_anchors
-            else ["text_sha256", *(c for c in SIG_COLS if c != "anchors")]
+            ["text_sha256",
+             *(c for c in SIG_COLS if compute_anchors or c != "anchors")]
         ).map_batches(
             encode_sig_columns, batch_format="pyarrow",
         ).write_parquet(store_dir)

@@ -267,3 +267,26 @@ def test_uid_width_primitives():
     assert (back == u128).all()
     # determinism
     assert (uid_of_urls(urls, 128) == u128).all()
+
+
+def test_sig_store_same_assignments(corpus, tmp_path):
+    """cfg.sig_store_dir must be invisible in the output: the cold run
+    (store empty, everything computed) and the warm run (every content
+    key re-used from the store, zero kernel rows) both produce the
+    baseline's byte-identical assignments."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    store = str(tmp_path / "sigstore")
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    cold = run_dedup(rd.from_arrow(small),
+                     PipelineConfig(sig_store_dir=store)).to_pandas()
+    warm = run_dedup(rd.from_arrow(small),
+                     PipelineConfig(sig_store_dir=store)).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    for got in (cold, warm):
+        b = got.sort_values("url").reset_index(drop=True)
+        for col in ["url", "cluster_id", "keeper_url", "is_keeper",
+                    "action", "match_kind"]:
+            assert (a[col] == b[col]).all(), col
