@@ -46,10 +46,17 @@ def cmd_run(args: argparse.Namespace) -> int:
         keeper=KeeperPolicy(policy=args.keeper),
         run_substring_pass=not args.no_substring,
         run_simhash=not args.no_simhash,
+        sig_store_dir=args.sig_store,
     )
     pages = ray.data.read_parquet(args.input)
     if args.count:
-        pages = pages.limit(args.count)       # ≙ --count caps (files/types.go)
+        # ≙ --count caps (files/types.go); preserve_order pins WHICH
+        # rows the cap takes — without it the streaming executor's
+        # limit grabs whichever blocks finish first, so two capped runs
+        # would process different row sets (breaking the determinism
+        # smoke a dev run exists for)
+        ray.data.DataContext.get_current().execution_options.preserve_order = True
+        pages = pages.limit(args.count)
     if args.checkpointed:
         out = run_dedup_checkpointed(pages, args.output,
                                      cfg=cfg, num_partitions=args.partitions)
@@ -127,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["deterministic", "site_popularity", "priority_limits"])
     r.add_argument("--no-substring", action="store_true")
     r.add_argument("--no-simhash", action="store_true")
+    r.add_argument("--sig-store", default=None, metavar="DIR",
+                   help="content-keyed incremental signature store: "
+                        "re-use signatures for content seen in previous "
+                        "runs (state/sigstore.py)")
     r.set_defaults(fn=cmd_run)
 
     rep = sub.add_parser("report", help="top-k duplicate clusters")
