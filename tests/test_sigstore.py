@@ -79,3 +79,42 @@ def test_incremental_signatures_changed_and_new_docs(ray_session, tmp_path,
     s4, n4 = incremental_signatures(pages2, store)
     assert n4 == 0
     assert _frame(s4).equals(_fresh(pages2))
+
+
+def test_encode_decode_roundtrip_no_ray():
+    """Wire-format identity: encode -> decode reproduces the canonical
+    signature columns exactly (values, types, nulls), including empty
+    anchor lists and empty tables."""
+    import numpy as np
+
+    from deduplicator_go_ray.config import MinHashConfig
+    from deduplicator_go_ray.state.sigstore import (decode_sig_columns,
+                                                    encode_sig_columns)
+
+    P = MinHashConfig().num_perms
+    rng = np.random.default_rng(3)
+    n = 37
+    mh = rng.integers(0, 2**63, size=(n, P), dtype=np.int64).view(np.uint64)
+    anchors = [rng.integers(-2**62, 2**62, size=rng.integers(0, 9)).tolist()
+               for _ in range(n)]
+    anchors[0] = []                                   # explicit empties
+    anchors[-1] = []
+    t = pa.table({
+        "text_sha256": pa.array([f"{i:064x}" for i in range(n)], pa.string()),
+        "minhash": pa.FixedSizeListArray.from_arrays(
+            pa.array(mh.reshape(-1), pa.uint64()), P),
+        "simhash": pa.array(
+            rng.integers(0, 2**63, n, dtype=np.int64).view(np.uint64),
+            pa.uint64()),
+        "n_shingles": pa.array(rng.integers(0, 5000, n), pa.int64()),
+        "anchors": pa.array(anchors, pa.list_(pa.int64())),
+        "sig_error": pa.array([None] * (n - 1) + ["HASH_ERROR"], pa.string()),
+    })
+    back = decode_sig_columns(encode_sig_columns(t))
+    back = back.select(t.column_names)
+    assert back.schema.equals(t.schema)
+    assert back.equals(t)
+
+    empty = t.slice(0, 0)
+    back_empty = decode_sig_columns(encode_sig_columns(empty))
+    assert back_empty.select(t.column_names).equals(empty)
