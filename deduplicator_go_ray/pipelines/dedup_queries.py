@@ -678,3 +678,57 @@ def _long_substring_oracle_sql() -> str:
 
 register("long_substring_pairs", long_substring_pairs,
          _long_substring_oracle_sql())
+
+
+# --------------------------------------------------------------------------
+# per-tier dedup report over the flagship assignments
+# --------------------------------------------------------------------------
+
+def tier_report(sf_dir: str) -> pd.DataFrame:
+    """Per-tier dedup report (≙ the reference's dup-group report S5,
+    ``files/utils.go:118-151``, split by match tier): document count,
+    dropped-copy count and cluster count (every cluster has exactly one
+    keeper row, so clusters = sum(is_keeper)) per ``match_kind`` of the
+    flagship assignments.  Map-side combined — only per-kind partial
+    rows ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.dedup import run_dedup
+    from ..sources.pages import pages_from_documents
+
+    asg = run_dedup(pages_from_documents(sf_dir))
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "match_kind": t["match_kind"].to_pandas(),
+            "n_dropped": (t["action"].to_pandas() == "drop").astype("int64"),
+            "n_clusters": t["is_keeper"].to_pandas().astype("int64"),
+        })
+        g = (df.groupby("match_kind", sort=False)
+               .agg(n_docs=("n_dropped", "size"),
+                    n_dropped=("n_dropped", "sum"),
+                    n_clusters=("n_clusters", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = asg.map_batches(part, batch_format="pyarrow")
+    return (partials.groupby("match_kind")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_dropped", alias_name="n_dropped"),
+                       Sum("n_clusters", alias_name="n_clusters"))
+            .to_pandas().sort_values("match_kind").reset_index(drop=True))
+
+
+def _tier_report_oracle_sql() -> str:
+    return f"""
+    SELECT match_kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN action = 'drop' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clusters
+    FROM ({_flagship_oracle_sql()})
+    GROUP BY match_kind
+    """
+
+
+register("tier_report", tier_report, _tier_report_oracle_sql())
