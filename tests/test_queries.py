@@ -37,7 +37,7 @@ def test_registry_complete(registry, ray_session):
         "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
         "embedding_dup_pairs", "ann_topk", "ann_ivf_topk",
         "token_counts", "quality_scores", "lang_id_pred", "doc_fingerprints",
-        "dedup_pipeline",
+        "dedup_pipeline", "import_near_gate", "tier_report",
     ]:
         assert name in registry, name
 
