@@ -16,9 +16,10 @@ Store layout: parquet files under ``store_dir``, append-only — a
 content key's signature never changes, so new runs only ADD files
 (no partition rewrites, no tombstones; single writer per store, like
 the run checkpoint).  Exactness does NOT rest on any probe: membership
-is decided by (semi/anti) joins on the full sha-256 key, with the
-broadcast/keyed-shuffle switch shared with the import gate
-(stages/joins.py).
+is decided on the FULL sha-256 key — a sorted fixed-width 'S64'
+searchsorted against the plasma-shared wire table in the direct-refs
+plan, a keyed-shuffle anti-join + hash join when the store exceeds the
+plasma budget (both plans equality-tested).
 
 Wire format: the nested/unsigned signature columns are encoded to
 join- and parquet-friendly types (Arrow's hash join rejects
@@ -40,7 +41,13 @@ import ray.data
 from ..config import MinHashConfig
 
 SIG_COLS = ("minhash", "simhash", "n_shingles", "anchors", "sig_error")
-BROADCAST_MAX_KEYS = 1_000_000
+# stores at or below this on-disk size take the direct-refs plan: the
+# wire table is materialized once and every worker maps it zero-copy
+# from plasma (same philosophy as verify_direct_max_bytes — clamped to
+# the session's actual object store at run time).  Above it, the
+# keyed-shuffle anti-join + hash join is the scale twin
+# (equality-tested).
+STORE_BROADCAST_MAX_BYTES = 4 << 30
 _P = MinHashConfig().num_perms      # slot count pinned per store
 
 
@@ -48,6 +55,11 @@ def _store_files(store_dir: str) -> list[str]:
     if not os.path.isdir(store_dir):
         return []
     return [f for f in os.listdir(store_dir) if f.endswith(".parquet")]
+
+
+def _store_nbytes(store_dir: str) -> int:
+    return sum(os.path.getsize(os.path.join(store_dir, f))
+               for f in _store_files(store_dir))
 
 
 def _bin_from(flat_bytes: bytes, offsets: np.ndarray) -> pa.Array:
@@ -70,6 +82,67 @@ def _bin_views(col: "pa.ChunkedArray") -> tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
     flat = data[offs[0]:offs[-1]].view(np.int64)
     return (offs - offs[0]) // 8, flat
+
+
+def _sha_np(col) -> np.ndarray:
+    """Fixed-width 'S64' numpy view of a 64-char hex sha column — one
+    buffer view when rows are uniform (always, for hex sha-256), a
+    fallback copy otherwise."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype="S64")
+    offs_all = np.frombuffer(arr.buffers()[1], np.int32)
+    offs = offs_all[arr.offset:arr.offset + n + 1].astype(np.int64)
+    if np.all(np.diff(offs) == 64):
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        return data[offs[0]:offs[-1]].view("S64")
+    return np.array(arr.to_pylist(), dtype="S64")
+
+
+# per-worker-process cache of the store's sorted sha index + payload
+# views (FIFO-bounded; entries pin the plasma object alive)
+_WIRE_CACHE: dict = {}
+
+
+@ray.remote(num_cpus=1)
+def _combine_wire(refs: list, wire_cols: tuple):
+    """ONE task concatenates the store's blocks into a single
+    contiguous table in plasma (the stages/buckets._build_sorted_index
+    pattern): per-batch ``take`` on a many-chunk binary ChunkedArray
+    re-resolves chunks pathologically (measured 0.3 s per 512-row
+    gather vs 0.1 ms single-chunk), so one global combine pays the
+    copy once per cluster instead of per batch."""
+    tables = [t for t in ray.get(refs) if len(t)]
+    if not tables:
+        return None
+    return pa.concat_tables(
+        [t.select(["text_sha256", *wire_cols]) for t in tables]
+    ).combine_chunks()
+
+
+def _wire_index(wire_ref, wire_cols: tuple):
+    """(sorted S64 sha keys, original row position per sorted key,
+    single-chunk payload arrays) built once per worker process from
+    the combined wire table — zero-copy plasma read, C-level sort."""
+    from ..stages.common import bounded_cache_put
+
+    key = (wire_ref.hex(), wire_cols)
+    hit = _WIRE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tbl = ray.get(wire_ref)
+    if tbl is None or len(tbl) == 0:
+        out = (np.empty(0, dtype="S64"), np.empty(0, np.int64), {})
+        return bounded_cache_put(_WIRE_CACHE, key, out)
+    keys = _sha_np(tbl["text_sha256"])
+    order = np.argsort(keys, kind="stable").astype(np.int64)
+    payload = {c: (tbl[c].chunk(0) if isinstance(tbl[c], pa.ChunkedArray)
+                   else tbl[c]) for c in wire_cols}
+    out = (keys[order], order, payload)
+    return bounded_cache_put(_WIRE_CACHE, key, out)
 
 
 def encode_sig_columns(t: pa.Table) -> pa.Table:
@@ -125,6 +198,7 @@ def incremental_signatures(
     compute_anchors: bool = True,
     sig_kwargs: dict | None = None,
     passthrough: tuple = (),
+    broadcast_max_bytes: int | None = None,
 ) -> "tuple[ray.data.Dataset, int]":
     """Signatures for ``reps`` (url, text, text_sha256 — one row per
     content key, e.g. exact-class representatives), computing only rows
@@ -145,8 +219,7 @@ def incremental_signatures(
     import functools
 
     from ..pipelines.dedup import _signature_cached
-    from ..stages.joins import (broadcast_semi_filter, join_on,
-                                keyed_membership_filter)
+    from ..stages.joins import join_on, keyed_membership_filter
 
     sig_kwargs = dict(sig_kwargs or {})
     sig_kwargs.setdefault("compute_anchors", compute_anchors)
@@ -157,8 +230,12 @@ def incremental_signatures(
     if not compute_anchors:
         out_cols = [c for c in out_cols if c != "anchors"]
 
-    hits = None
-    miss = reps
+    out_cols = [*out_cols, "sig_cached"]
+    store_cols = ["text_sha256",
+                  *(c for c in SIG_COLS if compute_anchors or c != "anchors")]
+
+    store = None
+    fits = False
     if _store_files(store_dir):
         store = ray.data.read_parquet(store_dir)
         has_anchors = "anchors_blob" in (store.schema().names or [])
@@ -166,41 +243,122 @@ def incremental_signatures(
             raise ValueError(
                 "signature store anchors setting does not match this "
                 "run's config — a store is bound to one signature config")
-        keys = store.select_columns(["text_sha256"]).materialize()
+        budget = (STORE_BROADCAST_MAX_BYTES if broadcast_max_bytes is None
+                  else broadcast_max_bytes)
+        cap = ray.cluster_resources().get("object_store_memory", 0)
+        if cap:
+            budget = min(budget, int(cap * 0.25))
+        fits = _store_nbytes(store_dir) <= budget
+
+    def _persist_new(ds: "ray.data.Dataset") -> None:
+        # append-only: new content keys only ever ADD files
+        ds.select_columns(store_cols).map_batches(
+            encode_sig_columns, batch_format="pyarrow").write_parquet(
+                store_dir)
+
+    if store is not None and fits:
+        # direct-refs fused plan: the wire table is materialized once
+        # and every worker maps it zero-copy from plasma, building ONE
+        # sorted S64 sha array per worker process (C memcmp
+        # searchsorted — no pandas string Index, no per-row Python).
+        # Each reps batch splits in place: store hits attach+decode,
+        # misses run the kernels — one operator, so the sigs dataset
+        # keeps the exact block structure of the fresh-compute path
+        # (the earlier hits/miss split + union measured SLOWER than
+        # recomputing end-to-end at 500k docs: BENCH/sigstore_ab.json).
+        from ..stages.lsh import block_refs_of
+
+        wire_cols = tuple(c for c in
+                          ("mh_blob", "simhash_i64", "n_shingles",
+                           "anchors_blob", "sig_error")
+                          if has_anchors or c != "anchors_blob")
+        wire = store.materialize()
+        wire_ref = _combine_wire.remote(list(block_refs_of(wire)),
+                                        wire_cols)
+
+        def fused(t: pa.Table) -> pa.Table:
+            keys_sorted, rowpos, payload = _wire_index(wire_ref, wire_cols)
+            q = _sha_np(t["text_sha256"])
+            if keys_sorted.size and q.size:
+                pos = np.minimum(np.searchsorted(keys_sorted, q),
+                                 keys_sorted.size - 1)
+                hit = keys_sorted[pos] == q
+            else:
+                hit = np.zeros(len(t), dtype=bool)
+            parts = []
+            if hit.any():
+                take = pa.array(rowpos[pos[hit]])
+                base = t.filter(pa.array(hit)).select(
+                    ["url", *passthrough, "text_sha256"])
+                dec = decode_sig_columns(
+                    pa.table({c: payload[c].take(take) for c in wire_cols}),
+                    num_perms=num_perms)
+                for c in SIG_COLS:
+                    if compute_anchors or c != "anchors":
+                        base = base.append_column(c, dec[c])
+                base = base.append_column(
+                    "sig_cached", pa.array(np.ones(len(base), dtype=bool)))
+                parts.append(base.select(out_cols))
+            if not hit.all() or not parts:
+                sub = t.filter(pa.array(~hit))
+                comp = _signature_cached(sub, **sig_kwargs)
+                comp = comp.append_column(
+                    "sig_cached", pa.array(np.zeros(len(comp), dtype=bool)))
+                parts.append(comp.select(out_cols))
+            return (parts[0] if len(parts) == 1
+                    else pa.concat_tables(parts, promote_options="default"))
+
+        sigs = reps.map_batches(fused, batch_format="pyarrow",
+                                batch_size=512).materialize()
+
+        def cnt(t: pa.Table) -> pa.Table:
+            n = int((~np.asarray(t["sig_cached"])).sum())
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        n_computed = int(sigs.select_columns(["sig_cached"]).map_batches(
+            cnt, batch_format="pyarrow").sum("n") or 0)
+        if n_computed:
+            _persist_new(sigs.map_batches(
+                lambda t: t.filter(pa.array(~np.asarray(t["sig_cached"]))),
+                batch_format="pyarrow"))
+        return sigs, n_computed
+
+    hits = None
+    miss = reps
+    if store is not None:
+        # scale twin (store exceeds the plasma budget): keyed-shuffle
+        # anti-join + hash join — nothing broadcast, nothing on the
+        # driver (equality-tested against the fused plan)
         slim = reps.select_columns(["url", *passthrough, "text_sha256"])
-        if keys.count() <= BROADCAST_MAX_KEYS:
-            key_set = {r["text_sha256"] for r in keys.take_all()}
-            hits_in = broadcast_semi_filter(slim, "text_sha256", key_set)
-            miss = broadcast_semi_filter(reps, "text_sha256", key_set,
-                                         anti=True)
-        else:
-            # scale twin: nothing collected on the driver
-            hits_in = keyed_membership_filter(
-                slim, "text_sha256", keys, num_partitions=num_partitions)
-            miss = keyed_membership_filter(
-                reps, "text_sha256", keys, anti=True,
-                num_partitions=num_partitions)
+        keys = store.select_columns(["text_sha256"]).materialize()
+        hits_in = keyed_membership_filter(
+            slim, "text_sha256", keys, num_partitions=num_partitions)
+        miss = keyed_membership_filter(
+            reps, "text_sha256", keys, anti=True,
+            num_partitions=num_partitions)
         hits = (join_on(hits_in, store, "text_sha256",
                         num_partitions=num_partitions)
                 .map_batches(
                     functools.partial(decode_sig_columns,
                                       num_perms=num_perms),
                     batch_format="pyarrow")
+                .map_batches(
+                    lambda t: t.append_column(
+                        "sig_cached",
+                        pa.array(np.ones(len(t), dtype=bool))),
+                    batch_format="pyarrow")
                 .select_columns(out_cols))
 
     computed = miss.map_batches(
         _signature_cached, fn_kwargs=sig_kwargs,
-        batch_format="pyarrow", batch_size=512).materialize()
+        batch_format="pyarrow", batch_size=512).map_batches(
+            lambda t: t.append_column(
+                "sig_cached", pa.array(np.zeros(len(t), dtype=bool))),
+            batch_format="pyarrow").materialize()
     n_computed = computed.count()
 
     if n_computed:
-        # append-only persist: new content keys only ever ADD files
-        computed.select_columns(
-            ["text_sha256",
-             *(c for c in SIG_COLS if compute_anchors or c != "anchors")]
-        ).map_batches(
-            encode_sig_columns, batch_format="pyarrow",
-        ).write_parquet(store_dir)
+        _persist_new(computed)
 
     new_sigs = computed.select_columns(out_cols)
     sigs = new_sigs if hits is None else hits.union(new_sigs)

@@ -118,3 +118,16 @@ def test_encode_decode_roundtrip_no_ray():
     empty = t.slice(0, 0)
     back_empty = decode_sig_columns(encode_sig_columns(empty))
     assert back_empty.select(t.column_names).equals(empty)
+
+
+def test_scale_twin_join_path_identical(ray_session, tmp_path, corpus):
+    """Forcing the over-budget plan (broadcast_max_bytes=0: keyed
+    anti-join + hash join instead of the direct-refs attach) must yield
+    the same frame and the same zero-compute warm behavior."""
+    store = str(tmp_path / "sigstore")
+    pages = _pages(corpus)
+    incremental_signatures(pages, store)
+
+    s, n = incremental_signatures(pages, store, broadcast_max_bytes=0)
+    assert n == 0
+    assert _frame(s).equals(_fresh(pages))
