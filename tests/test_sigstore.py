@@ -119,6 +119,12 @@ def test_encode_decode_roundtrip_no_ray():
     back_empty = decode_sig_columns(encode_sig_columns(empty))
     assert back_empty.select(t.column_names).equals(empty)
 
+    # sliced input: offsets no longer start at 0 — the buffer-view
+    # encode must rebase correctly
+    sl = t.slice(5, 11)
+    back_sl = decode_sig_columns(encode_sig_columns(sl))
+    assert back_sl.select(t.column_names).equals(sl.combine_chunks())
+
 
 def test_scale_twin_join_path_identical(ray_session, tmp_path, corpus):
     """Forcing the over-budget plan (broadcast_max_bytes=0: keyed
