@@ -352,10 +352,12 @@ def _simhash_oracle_sql() -> str:
     principles: tokenize (``\\w+`` on lowercased text), hash each token
     (crc32 + charlen·2^32 + seed → splitmix64), majority-vote the 64
     bit positions into a signature, then emit pairs with Hamming ≤ 8
-    that share an aligned 8-bit chunk — the same pigeonhole bucket
-    condition ``simhash_edges`` (stages/lsh.py) verifies, so the two
-    paths agree exactly while buckets stay under ``group_cap`` (always
-    true at oracle scale: bucket size ≤ corpus size 500 < 512).
+    that share an aligned 8-bit chunk whose bucket holds 2..group_cap
+    documents — the same pigeonhole bucket condition AND the same
+    hot-bucket skip ``simhash_edges`` (stages/lsh.py:333) applies, so
+    the two paths agree exactly at ANY corpus size (at sf0.1 the
+    all-zero chunk buckets exceed the cap and both sides skip them;
+    verified by the full-sweep hash match at sf0.001/sf0.01/sf0.1).
 
     Only algorithm constants are embedded (CRC-32 table, splitmix64
     multipliers); 64×64 multiplication mod 2^64 splits the constant
@@ -369,7 +371,6 @@ def _simhash_oracle_sql() -> str:
     from ..functions.sqlgen import simhash_sig_ctes
 
     seed = SimHashConfig().seed
-    chunk_free = " OR ".join(f"((x >> {8 * c}) & 255) = 0" for c in range(8))
 
     return f"""
     WITH
@@ -381,14 +382,29 @@ def _simhash_oracle_sql() -> str:
         FROM documents d JOIN simh s USING (doc_id)
         WHERE octet_length(encode(d.text)) > 0
     ),
-    px AS (
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               xor(a.simhash, b.simhash) AS x
-        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    chunk_rows AS MATERIALIZED (
+        SELECT doc_id, c, ((simhash >> (8 * c)) & 255) AS v
+        FROM sigs, (SELECT unnest(generate_series(0, 7)) AS c) _
+    ),
+    ok_chunks AS (
+        -- ≙ simhash_edges' per-bucket emission gate: buckets with a
+        -- single member pair nothing, buckets over group_cap are
+        -- skipped as hot (stages/lsh.py:333)
+        SELECT c, v FROM chunk_rows GROUP BY c, v
+        HAVING count(*) BETWEEN 2 AND 512
+    ),
+    cand AS (
+        SELECT DISTINCT r1.doc_id AS doc_id_a, r2.doc_id AS doc_id_b
+        FROM chunk_rows r1
+        JOIN ok_chunks o ON o.c = r1.c AND o.v = r1.v
+        JOIN chunk_rows r2
+          ON r2.c = r1.c AND r2.v = r1.v AND r2.doc_id > r1.doc_id
     )
-    SELECT doc_id_a, doc_id_b
-    FROM px
-    WHERE bit_count(x) <= 8 AND ({chunk_free})
+    SELECT cd.doc_id_a, cd.doc_id_b
+    FROM cand cd
+    JOIN sigs a ON a.doc_id = cd.doc_id_a
+    JOIN sigs b ON b.doc_id = cd.doc_id_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """
 
 
