@@ -499,14 +499,14 @@ def embedding_clusters(sf_dir: str,
     # over every edge endpoint (roots map to themselves)
     nodes = np.unique(np.concatenate([
         pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)]))
+    from ..stages.common import sorted_probe
+
     cu = comp["url"].to_numpy(np.int64)
     cr = comp["root"].to_numpy(np.int64)
-    if cu.size:
-        pos = np.minimum(np.searchsorted(cu, nodes), cu.size - 1)
-        hit = cu[pos] == nodes
-        roots = np.where(hit, cr[pos], nodes)
-    else:
-        roots = nodes
+    pos, hit = sorted_probe(cu, nodes)
+    roots = nodes.copy()
+    if hit.any():
+        roots[hit] = cr[pos[hit]]
     return pd.DataFrame({
         "vec_id": nodes,
         "cluster_root": roots,

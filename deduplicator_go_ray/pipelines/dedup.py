@@ -232,11 +232,18 @@ def run_dedup(
         # content runs the kernels.  Output is byte-identical to the
         # full compute (equality-tested), so every downstream stage is
         # untouched.  Takes precedence over the actor-pool option.
+        # The sigs table carries two store-bookkeeping columns the
+        # baseline path doesn't (text_sha256 for the append-only
+        # persist, sig_cached for the compute accounting) — ~65 B/row
+        # of plasma residency; they never enter a shuffle (bucket_rows
+        # emits skinny rows, the verify index gathers url+minhash
+        # only).
         from ..state.sigstore import incremental_signatures
 
         sigs, _n_new = incremental_signatures(
             reps, cfg.sig_store_dir, num_partitions=num_partitions,
-            sig_kwargs=sig_kwargs, passthrough=("n_bytes",))
+            sig_kwargs=sig_kwargs, passthrough=("n_bytes",),
+            batch_size=cfg.signature_batch_size)
         sigs = sigs.materialize()
         timer.note("sigs_computed", _n_new)
     elif cfg.signature_concurrency is None:
@@ -280,11 +287,14 @@ def run_dedup(
     # direct-refs plan can use a url-keyed prebuilt index; the flood
     # path drops the refs and plasma reclaims the objects.
     # the configured budget is a per-node plasma allowance — clamp it
-    # to what THIS cluster's object store can actually hold (the index
-    # is one monolithic plasma object; letting it dominate the store
-    # forces spill/ObjectStoreFullError where the flood plan would have
-    # streamed fine)
-    store_bytes = ray.cluster_resources().get("object_store_memory", 0)
+    # to what the SMALLEST node's object store can actually hold (the
+    # index is one monolithic plasma object; cluster_resources() sums
+    # across nodes and would overstate it on a multi-node cluster;
+    # letting the index dominate a node's store forces
+    # spill/ObjectStoreFullError where the flood plan streams fine)
+    from ..stages.common import per_node_object_store_bytes
+
+    store_bytes = per_node_object_store_bytes()
     budget = cfg.verify_direct_max_bytes
     if store_bytes:
         budget = min(budget, int(store_bytes * 0.25))

@@ -369,6 +369,7 @@ def _simhash_oracle_sql() -> str:
     """
     from ..config import SimHashConfig
     from ..functions.sqlgen import simhash_sig_ctes
+    from ..stages.lsh import SIMHASH_GROUP_CAP
 
     seed = SimHashConfig().seed
 
@@ -391,7 +392,7 @@ def _simhash_oracle_sql() -> str:
         -- single member pair nothing, buckets over group_cap are
         -- skipped as hot (stages/lsh.py:333)
         SELECT c, v FROM chunk_rows GROUP BY c, v
-        HAVING count(*) BETWEEN 2 AND 512
+        HAVING count(*) BETWEEN 2 AND {SIMHASH_GROUP_CAP}
     ),
     cand AS (
         SELECT DISTINCT r1.doc_id AS doc_id_a, r2.doc_id AS doc_id_b

@@ -492,11 +492,11 @@ def import_near_gate(sf_dir: str) -> pd.DataFrame:
         m = (pd.DataFrame({"u": hits["u"].astype(np.int64),
                            "v": hits["v"].astype(np.int64)})
              .groupby("u")["v"].min())
+        from ..stages.common import sorted_probe
+
         keys = m.index.to_numpy(np.int64)
         vals = m.to_numpy(np.int64)
-        q = out["doc_id"].to_numpy(np.int64)
-        pos = np.minimum(np.searchsorted(keys, q), keys.size - 1)
-        hit = keys[pos] == q
+        pos, hit = sorted_probe(keys, out["doc_id"].to_numpy(np.int64))
         out["match_id"] = np.where(hit, vals[pos], -1)
     else:
         out["match_id"] = np.full(len(out), -1, np.int64)

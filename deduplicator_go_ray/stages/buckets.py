@@ -736,9 +736,9 @@ def _attach_payload_partitioned(
             first = np.r_[True, pk_sorted[1:] != pk_sorted[:-1]]
             pk_u = pk_sorted[first]                 # unique keys (first wins)
             prow = pay_rows[order][first]           # full-row idx per key
-            pos = np.searchsorted(pk_u, k[edge_rows])
-            pos = np.minimum(pos, pk_u.size - 1)
-            hit = pk_u[pos] == k[edge_rows]
+            from .common import sorted_probe
+
+            pos, hit = sorted_probe(pk_u, k[edge_rows])
             keep_e = edge_rows[hit]                 # inner join
             take_p = prow[pos[hit]]
             out = base.take(pa.array(keep_e))
@@ -754,7 +754,12 @@ def _attach_payload_partitioned(
             columns=[c for c in (out_col, "__m") if c in df.columns])
         if out_col not in df.columns:     # edge-only partition
             out = eg.head(0).copy()
-            out[out_col] = pd.Series(dtype=object)
+            # type the empty column like the arrow path does — a plain
+            # object Series converts to Arrow null and breaks schema
+            # unification with sibling partitions' typed blocks
+            out[out_col] = (pd.array([], dtype=pd.ArrowDtype(out_type))
+                            if out_type is not None
+                            else pd.Series(dtype=object))
             return out.drop(columns="__k")
         pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
         return eg.merge(pay, on="__k", how="inner").drop(columns="__k")

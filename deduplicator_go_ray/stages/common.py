@@ -232,6 +232,34 @@ def bounded_cache_put(cache: dict, key, val, max_entries: int = 8):
     return val
 
 
+def sorted_probe(keys_sorted: np.ndarray, queries: np.ndarray):
+    """(clamped positions, hit mask) of ``queries`` in a SORTED key
+    array — the membership-probe idiom shared by the broadcast lookup
+    paths (rep semi-filters, store hits, gate matches, payload joins).
+    Empty key sets probe as all-miss."""
+    if keys_sorted.size == 0 or queries.size == 0:
+        return (np.zeros(queries.size, dtype=np.int64),
+                np.zeros(queries.size, dtype=bool))
+    pos = np.minimum(np.searchsorted(keys_sorted, queries),
+                     keys_sorted.size - 1)
+    return pos, keys_sorted[pos] == queries
+
+
+def per_node_object_store_bytes() -> int:
+    """The SMALLEST alive node's object-store capacity, in bytes — the
+    correct bound for 'can one node hold this broadcast object'
+    (``ray.cluster_resources()`` sums across nodes and overstates it on
+    any multi-node cluster).  0 when unavailable."""
+    try:
+        nodes = ray.nodes()
+    except Exception:
+        return 0
+    caps = [int(n.get("Resources", {}).get("object_store_memory", 0))
+            for n in nodes if n.get("Alive")]
+    caps = [c for c in caps if c > 0]
+    return min(caps) if caps else 0
+
+
 def schema_names(ds: "ray.data.Dataset") -> list[str]:
     """Column names, or [] when the dataset is empty with no schema
     (Ray returns None for a fully-empty aggregate result)."""

@@ -294,9 +294,14 @@ def verify_edges_broadcast(
     return edges.map_batches(score, batch_format="pyarrow")
 
 
+# shared hot-bucket cap for simhash chunk buckets — the SQL oracle
+# interpolates THIS constant so the two paths stay cap-consistent
+SIMHASH_GROUP_CAP = 512
+
+
 def simhash_edges(
     sigs: "ray.data.Dataset", hamming_threshold: int = 3, chunk_bits: int = 16,
-    group_cap: int = 512,
+    group_cap: int = SIMHASH_GROUP_CAP,
 ) -> "ray.data.Dataset":
     """SimHash near-dup candidates via table-rotation bucketing: split
     the 64-bit fingerprint into 64/chunk_bits chunks — two fingerprints

@@ -51,10 +51,42 @@ STORE_BROADCAST_MAX_BYTES = 4 << 30
 _P = MinHashConfig().num_perms      # slot count pinned per store
 
 
+_META_FILE = "_sigstore_meta.json"
+
+
 def _store_files(store_dir: str) -> list[str]:
     if not os.path.isdir(store_dir):
         return []
     return [f for f in os.listdir(store_dir) if f.endswith(".parquet")]
+
+
+def _check_meta(store_dir: str, num_perms: int, anchors: bool) -> None:
+    """A store is bound to ONE signature config: the sidecar written at
+    first persist pins num_perms and the anchors setting; a mismatched
+    run must fail fast instead of silently mixing signature widths."""
+    import json
+
+    path = os.path.join(store_dir, _META_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        meta = json.load(f)
+    if (meta.get("num_perms") != num_perms
+            or bool(meta.get("anchors")) != bool(anchors)):
+        raise ValueError(
+            f"signature store config mismatch: store has "
+            f"num_perms={meta.get('num_perms')} anchors={meta.get('anchors')}"
+            f", this run wants num_perms={num_perms} anchors={anchors}")
+
+
+def _write_meta(store_dir: str, num_perms: int, anchors: bool) -> None:
+    import json
+
+    path = os.path.join(store_dir, _META_FILE)
+    if not os.path.exists(path):
+        os.makedirs(store_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"num_perms": num_perms, "anchors": bool(anchors)}, f)
 
 
 def _store_nbytes(store_dir: str) -> int:
@@ -70,14 +102,17 @@ def _bin_from(flat_bytes: bytes, offsets: np.ndarray) -> pa.Array:
 
 
 def _bin_views(col: "pa.ChunkedArray") -> tuple[np.ndarray, np.ndarray]:
-    """(rebased int64 offsets, flat int64 values) of a binary column
-    whose payloads are 8-byte-aligned arrays — buffer views only."""
+    """(rebased int64 offsets, flat int64 values) of a binary /
+    large_binary column whose payloads are 8-byte-aligned arrays —
+    buffer views only."""
     arr = col.combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = (arr.chunk(0) if arr.num_chunks
                else pa.array([], pa.binary()))
-    # BinaryArray buffers: [validity, int32 offsets, data]; honor slices
-    offs_all = np.frombuffer(arr.buffers()[1] or b"\x00" * 4, np.int32)
+    # Binary buffers: [validity, offsets, data] — int64 offsets for
+    # large_binary (the combined >2 GiB wire columns), int32 otherwise
+    wid = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs_all = np.frombuffer(arr.buffers()[1] or b"\x00" * 8, wid)
     offs = offs_all[arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
     flat = data[offs[0]:offs[-1]].view(np.int64)
@@ -118,9 +153,15 @@ def _combine_wire(refs: list, wire_cols: tuple):
     tables = [t for t in ray.get(refs) if len(t)]
     if not tables:
         return None
-    return pa.concat_tables(
-        [t.select(["text_sha256", *wire_cols]) for t in tables]
-    ).combine_chunks()
+    tbl = pa.concat_tables(
+        [t.select(["text_sha256", *wire_cols]) for t in tables])
+    # int32-offset binary columns cap at 2 GiB per chunk — widen the
+    # blob columns to large_binary BEFORE combining so big stores
+    # combine into one contiguous chunk instead of raising
+    fields = [pa.field(f.name, pa.large_binary())
+              if pa.types.is_binary(f.type) and f.name.endswith("_blob")
+              else f for f in tbl.schema]
+    return tbl.cast(pa.schema(fields)).combine_chunks()
 
 
 def _wire_index(wire_ref, wire_cols: tuple):
@@ -146,11 +187,14 @@ def _wire_index(wire_ref, wire_cols: tuple):
 
 
 def encode_sig_columns(t: pa.Table) -> pa.Table:
-    """(text_sha256, *SIG_COLS) → the store wire schema."""
+    """(text_sha256, *SIG_COLS) → the store wire schema.  The minhash
+    row width comes from the column's own FixedSizeList type, never a
+    config default — a non-default num_perms must round-trip exactly."""
     n = len(t)
+    p = t["minhash"].type.list_size
     mh = np.asarray(t["minhash"].combine_chunks().flatten(),
                     dtype=np.uint64)
-    mh_offs = np.arange(n + 1, dtype=np.int64) * (_P * 8)
+    mh_offs = np.arange(n + 1, dtype=np.int64) * (p * 8)
     cols = {
         "text_sha256": t["text_sha256"],
         "mh_blob": _bin_from(mh.tobytes(), mh_offs),
@@ -199,6 +243,7 @@ def incremental_signatures(
     sig_kwargs: dict | None = None,
     passthrough: tuple = (),
     broadcast_max_bytes: int | None = None,
+    batch_size: int = 512,
 ) -> "tuple[ray.data.Dataset, int]":
     """Signatures for ``reps`` (url, text, text_sha256 — one row per
     content key, e.g. exact-class representatives), computing only rows
@@ -237,7 +282,10 @@ def incremental_signatures(
     store = None
     fits = False
     if _store_files(store_dir):
-        store = ray.data.read_parquet(store_dir)
+        _check_meta(store_dir, num_perms, compute_anchors)
+        # explicit file list: the meta sidecar lives in the same dir
+        store = ray.data.read_parquet(
+            [os.path.join(store_dir, f) for f in _store_files(store_dir)])
         has_anchors = "anchors_blob" in (store.schema().names or [])
         if has_anchors != bool(compute_anchors):
             raise ValueError(
@@ -245,13 +293,16 @@ def incremental_signatures(
                 "run's config — a store is bound to one signature config")
         budget = (STORE_BROADCAST_MAX_BYTES if broadcast_max_bytes is None
                   else broadcast_max_bytes)
-        cap = ray.cluster_resources().get("object_store_memory", 0)
+        from ..stages.common import per_node_object_store_bytes
+
+        cap = per_node_object_store_bytes()
         if cap:
             budget = min(budget, int(cap * 0.25))
         fits = _store_nbytes(store_dir) <= budget
 
     def _persist_new(ds: "ray.data.Dataset") -> None:
         # append-only: new content keys only ever ADD files
+        _write_meta(store_dir, num_perms, compute_anchors)
         ds.select_columns(store_cols).map_batches(
             encode_sig_columns, batch_format="pyarrow").write_parquet(
                 store_dir)
@@ -277,14 +328,10 @@ def incremental_signatures(
                                         wire_cols)
 
         def fused(t: pa.Table) -> pa.Table:
+            from ..stages.common import sorted_probe
+
             keys_sorted, rowpos, payload = _wire_index(wire_ref, wire_cols)
-            q = _sha_np(t["text_sha256"])
-            if keys_sorted.size and q.size:
-                pos = np.minimum(np.searchsorted(keys_sorted, q),
-                                 keys_sorted.size - 1)
-                hit = keys_sorted[pos] == q
-            else:
-                hit = np.zeros(len(t), dtype=bool)
+            pos, hit = sorted_probe(keys_sorted, _sha_np(t["text_sha256"]))
             parts = []
             if hit.any():
                 take = pa.array(rowpos[pos[hit]])
@@ -309,7 +356,7 @@ def incremental_signatures(
                     else pa.concat_tables(parts, promote_options="default"))
 
         sigs = reps.map_batches(fused, batch_format="pyarrow",
-                                batch_size=512).materialize()
+                                batch_size=batch_size).materialize()
 
         def cnt(t: pa.Table) -> pa.Table:
             n = int((~np.asarray(t["sig_cached"])).sum())
@@ -349,17 +396,21 @@ def incremental_signatures(
                     batch_format="pyarrow")
                 .select_columns(out_cols))
 
+    # the select INSIDE the fused map chain drops the wide text column
+    # before materialization (the cold/bootstrap run would otherwise pin
+    # a second corpus-wide text copy in plasma — the regression
+    # _signature_slim exists to prevent on the baseline path)
     computed = miss.map_batches(
         _signature_cached, fn_kwargs=sig_kwargs,
-        batch_format="pyarrow", batch_size=512).map_batches(
+        batch_format="pyarrow", batch_size=batch_size).map_batches(
             lambda t: t.append_column(
-                "sig_cached", pa.array(np.zeros(len(t), dtype=bool))),
+                "sig_cached",
+                pa.array(np.zeros(len(t), dtype=bool))).select(out_cols),
             batch_format="pyarrow").materialize()
     n_computed = computed.count()
 
     if n_computed:
         _persist_new(computed)
 
-    new_sigs = computed.select_columns(out_cols)
-    sigs = new_sigs if hits is None else hits.union(new_sigs)
+    sigs = computed if hits is None else hits.union(computed)
     return sigs, n_computed

@@ -137,3 +137,32 @@ def test_scale_twin_join_path_identical(ray_session, tmp_path, corpus):
     s, n = incremental_signatures(pages, store, broadcast_max_bytes=0)
     assert n == 0
     assert _frame(s).equals(_fresh(pages))
+
+
+def test_nondefault_num_perms_roundtrip(ray_session, tmp_path, corpus):
+    """A store written under a non-default MinHash config must
+    round-trip exactly (the encode width comes from the column type,
+    not the config default) and must reject a mismatched run."""
+    from deduplicator_go_ray.config import MinHashConfig
+
+    cfg = MinHashConfig(num_perms=64, bands=8, rows=8)
+    store = str(tmp_path / "sigstore64")
+    pages = _pages(corpus)
+    kw = {"minhash": cfg, "compute_anchors": True}
+
+    s1, n1 = incremental_signatures(pages, store, sig_kwargs=kw)
+    assert n1 == len(corpus)
+    s2, n2 = incremental_signatures(pages, store, sig_kwargs=kw)
+    assert n2 == 0
+
+    def norm(ds):
+        df = ds.to_pandas()[["url", "minhash", "simhash", "n_shingles"]]
+        df["minhash"] = df["minhash"].map(tuple)
+        return df.sort_values("url").reset_index(drop=True)
+
+    assert norm(s2).equals(norm(s1))
+    assert all(len(m) == 64 for m in norm(s2)["minhash"])
+
+    # a default-config run against the 64-perm store must fail fast
+    with pytest.raises(ValueError, match="mismatch"):
+        incremental_signatures(pages, store)
