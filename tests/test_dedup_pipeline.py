@@ -290,3 +290,24 @@ def test_sig_store_same_assignments(corpus, tmp_path):
         for col in ["url", "cluster_id", "keeper_url", "is_keeper",
                     "action", "match_kind"]:
             assert (a[col] == b[col]).all(), col
+
+
+def test_uid128_with_sig_store_same_assignments(corpus, tmp_path):
+    """Mechanism combination: the content-keyed signature store is
+    uid-width-independent — a warm 128-bit-uid run (every signature
+    re-used from a store written by a 128-bit cold run) matches the
+    default-mode baseline byte-for-byte."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    store = str(tmp_path / "sigstore128")
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    cfg = PipelineConfig(uid_bits=128, sig_store_dir=store)
+    run_dedup(rd.from_arrow(small), cfg).to_pandas()          # cold
+    warm = run_dedup(rd.from_arrow(small), cfg).to_pandas()   # warm
+    a = base.sort_values("url").reset_index(drop=True)
+    b = warm.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
