@@ -414,3 +414,97 @@ def incremental_signatures(
 
     sigs = computed if hits is None else hits.union(computed)
     return sigs, n_computed
+
+
+def near_gate_against_store(
+    pages: "ray.data.Dataset",
+    store_dir: str,
+    cfg: "MinHashConfig | None" = None,
+    existing_cap: int = 8,
+    num_partitions: int = 64,
+) -> "pd.DataFrame":
+    """Store-backed near-dup import gate: admit/block an incoming batch
+    (``url``, ``text``) against the EXISTING corpus as represented by
+    the signature store — the incremental composition of
+    ``import_near_gate`` (pipelines/parity_queries.py) with
+    :func:`incremental_signatures`: across snapshots the existing side
+    costs one store scan (no text, no kernels), and only the incoming
+    batch runs the signature stage.
+
+    Existing-side rows are identified by their content key (the store
+    carries no urls); blocked rows report the smallest matching
+    ``text_sha256`` as evidence (None when admitted).  Candidates come
+    from one band_key hash shuffle with the same deterministic
+    ``existing_cap`` per-bucket rank as the fresh gate.
+    """
+    import pandas as pd
+
+    from ..pipelines.dedup import _signature_cached
+    from ..stages.common import dedupe_rows, grouped_apply
+    from ..stages.lsh import band_rows, verify_edges_smallset
+
+    cfg = cfg or MinHashConfig()
+    in_sigs = pages.map_batches(
+        _signature_cached, fn_kwargs={"compute_anchors": False},
+        batch_format="pyarrow", batch_size=512).materialize()
+
+    files = _store_files(store_dir)
+    if not files:
+        out = (pages.select_columns(["url"]).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        out["admitted"] = True
+        out["match_key"] = pd.Series([None] * len(out), dtype=object)
+        return out[["url", "admitted", "match_key"]]
+
+    store = ray.data.read_parquet(
+        [os.path.join(store_dir, f) for f in files])
+
+    def to_sig_rows(t: pa.Table) -> pa.Table:
+        dec = decode_sig_columns(t, num_perms=cfg.num_perms)
+        return pa.table({
+            "url": dec["text_sha256"],           # content key AS the id
+            "minhash": dec["minhash"],
+            "n_shingles": dec["n_shingles"],
+        })
+
+    ex_sigs = store.map_batches(to_sig_rows, batch_format="pyarrow")
+
+    def tag(ds, flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_ex", pa.array(np.full(len(t), flag, np.int8)))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    bands = tag(band_rows(in_sigs, cfg), 0).union(
+        tag(band_rows(ex_sigs, cfg), 1))
+
+    def emit(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(["band_key", "url", "is_ex"])
+        ex = df[df["is_ex"] == 1].sort_values(["band_key", "url"])
+        ex = ex[ex.groupby("band_key").cumcount() < existing_cap]
+        inc = df.loc[df["is_ex"] == 0, ["band_key", "url"]]
+        pairs = inc.merge(ex[["band_key", "url"]], on="band_key",
+                          suffixes=("_u", "_v"))
+        return pd.DataFrame({"u": pairs["url_u"], "v": pairs["url_v"]})
+
+    cand = dedupe_rows(grouped_apply(bands, ["band_key"], emit), ["u", "v"],
+                       num_partitions=num_partitions).materialize()
+    hits = pd.DataFrame({"u": pd.Series(dtype=object),
+                         "v": pd.Series(dtype=object)})
+    if cand.count() > 0:
+        both = in_sigs.select_columns(["url", "minhash"]).union(
+            ex_sigs.select_columns(["url", "minhash"]))
+        hits = (verify_edges_smallset(cand, both, cfg)
+                .select_columns(["u", "v"]).to_pandas())
+
+    out = (pages.select_columns(["url"]).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    if len(hits):
+        m = hits.groupby("u")["v"].min()
+        out["match_key"] = out["url"].map(m).astype(object)
+        out["match_key"] = out["match_key"].where(out["match_key"].notna(),
+                                                  None)
+    else:
+        out["match_key"] = pd.Series([None] * len(out), dtype=object)
+    out["admitted"] = out["match_key"].isna()
+    return out[["url", "admitted", "match_key"]]

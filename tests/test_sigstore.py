@@ -166,3 +166,34 @@ def test_nondefault_num_perms_roundtrip(ray_session, tmp_path, corpus):
     # a default-config run against the 64-perm store must fail fast
     with pytest.raises(ValueError, match="mismatch"):
         incremental_signatures(pages, store)
+
+
+def test_near_gate_against_store(ray_session, tmp_path, corpus):
+    """Store-backed import gate: incoming copies of store content are
+    blocked with a valid existing content key as evidence; genuinely
+    new docs are admitted.  The existing side costs one store scan —
+    no texts, no kernels."""
+    import hashlib
+
+    from deduplicator_go_ray.state.sigstore import near_gate_against_store
+
+    store = str(tmp_path / "gate_store")
+    ex = dict(list(corpus.items())[:25])
+    incremental_signatures(_pages(ex), store)
+
+    inc = {f"newsite{i:02d}/p": ex[k] for i, k in enumerate(list(ex)[:5])}
+    inc.update({f"fresh{i:02d}/p":
+                f"completely different subject {i} " + (f"qq{i}ww " * 40)
+                for i in range(5)})
+    out = near_gate_against_store(_pages(inc), store)
+
+    blocked = set(out.loc[~out["admitted"], "url"])
+    assert blocked == {u for u in inc if u.startswith("newsite")}
+    ex_shas = {hashlib.sha256(t.encode()).hexdigest() for t in ex.values()}
+    for _, r in out[~out["admitted"]].iterrows():
+        assert r["match_key"] in ex_shas
+    assert out.loc[out["admitted"], "match_key"].isna().all()
+
+    # determinism: a second gate call is frame-identical
+    out2 = near_gate_against_store(_pages(inc), store)
+    pd.testing.assert_frame_equal(out, out2)
