@@ -508,3 +508,84 @@ def near_gate_against_store(
         out["match_key"] = pd.Series([None] * len(out), dtype=object)
     out["admitted"] = out["match_key"].isna()
     return out[["url", "admitted", "match_key"]]
+
+
+def compact_store(store_dir: str, target_files: int = 16) -> int:
+    """Rewrite the append-only store as ~``target_files`` parquet files
+    (each run of :func:`incremental_signatures` ADDS files, and the
+    warm read/combine cost grows with file count).  Atomic per the
+    single-writer rule: the new files land in a sibling tmp dir which
+    is swapped in with two renames.  Returns the new file count."""
+    import shutil
+
+    files = _store_files(store_dir)
+    if len(files) <= target_files:
+        return len(files)
+    store = ray.data.read_parquet(
+        [os.path.join(store_dir, f) for f in files])
+    tmp = store_dir.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    store.repartition(target_files).write_parquet(tmp)
+    meta = os.path.join(store_dir, _META_FILE)
+    if os.path.exists(meta):
+        shutil.copy(meta, os.path.join(tmp, _META_FILE))
+    old = store_dir.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(_store_files(store_dir))
+
+
+def prune_store(store_dir: str,
+                live_keys: "ray.data.Dataset",
+                key_col: str = "text_sha256") -> int:
+    """Drop store rows whose content key is absent from ``live_keys``
+    (a dataset carrying the current corpus's content keys) — the
+    liveness half of the reference's prune flow (``files/prune.go:122,
+    175-204``) applied to the near-dup tier: across snapshots, content
+    that left the corpus would otherwise accumulate forever in the
+    append-only store.  Rewrites atomically like :func:`compact_store`;
+    returns the number of rows dropped."""
+    import shutil
+
+    files = _store_files(store_dir)
+    if not files:
+        return 0
+    store = ray.data.read_parquet(
+        [os.path.join(store_dir, f) for f in files])
+    n_before = store.count()
+    live = live_keys.select_columns([key_col]).materialize()
+
+    from ..stages.lsh import block_refs_of
+    refs = tuple(block_refs_of(live))
+
+    def keep_live(t: pa.Table) -> pa.Table:
+        from ..stages.common import bounded_cache_put, sorted_probe
+
+        ck = ("live_shas", tuple(r.hex() for r in refs))
+        keys = _WIRE_CACHE.get(ck)
+        if keys is None:
+            tables = [x for x in ray.get(list(refs)) if len(x)]
+            arr = (np.sort(np.concatenate(
+                       [_sha_np(x[key_col]) for x in tables]))
+                   if tables else np.empty(0, dtype="S64"))
+            keys = bounded_cache_put(_WIRE_CACHE, ck, arr)
+        _, hit = sorted_probe(keys, _sha_np(t["text_sha256"]))
+        return t.filter(pa.array(hit))
+
+    kept = store.map_batches(keep_live, batch_format="pyarrow")
+    tmp = store_dir.rstrip("/") + ".prune_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write_parquet(tmp)
+    n_after = ray.data.read_parquet(tmp).count() if _store_files(tmp) else 0
+    meta = os.path.join(store_dir, _META_FILE)
+    if os.path.exists(meta):
+        os.makedirs(tmp, exist_ok=True)
+        shutil.copy(meta, os.path.join(tmp, _META_FILE))
+    old = store_dir.rstrip("/") + ".prune_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return int(n_before - n_after)

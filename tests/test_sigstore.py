@@ -197,3 +197,32 @@ def test_near_gate_against_store(ray_session, tmp_path, corpus):
     # determinism: a second gate call is frame-identical
     out2 = near_gate_against_store(_pages(inc), store)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_compact_and_prune_store(ray_session, tmp_path, corpus):
+    """Operational maintenance: compaction shrinks the append-only
+    file count without changing warm behavior; liveness pruning drops
+    content keys absent from the current corpus (they recompute on the
+    next run) while live keys stay warm."""
+    from deduplicator_go_ray.state.sigstore import (compact_store,
+                                                    incremental_signatures,
+                                                    prune_store)
+
+    store = str(tmp_path / "maint_store")
+    first = dict(list(corpus.items())[:20])
+    incremental_signatures(_pages(first), store)            # run 1
+    incremental_signatures(_pages(corpus), store)           # run 2 adds 20
+
+    n_files = compact_store(store, target_files=2)
+    assert n_files <= 4                                     # repartition hint
+    s, n = incremental_signatures(_pages(corpus), store)
+    assert n == 0                                           # still warm
+    assert _frame(s).equals(_fresh(_pages(corpus)))
+
+    live = _pages(first).select_columns(["text_sha256"])
+    dropped = prune_store(store, live)
+    assert dropped == len(corpus) - len(first)
+
+    s2, n2 = incremental_signatures(_pages(corpus), store)
+    assert n2 == len(corpus) - len(first)                   # pruned recompute
+    assert _frame(s2).equals(_fresh(_pages(corpus)))
