@@ -260,6 +260,263 @@ register(
 
 
 # --------------------------------------------------------------------------
+# keep-first line dedup
+# --------------------------------------------------------------------------
+
+# owner encoding: doc_id * _LN_K + line-index; the synthesized page has
+# 5 lines, so ln < _LN_K holds with 7 orders of magnitude to spare and
+# doc_id keeps headroom to ~9e15
+_LN_K = 1024
+# dup-winner rows above this skip the driver collect and take the keyed
+# grouped_apply plan (same switch discipline as import_anti_join /
+# curation_pipeline's keeper semi-join)
+_DUP_BROADCAST_MAX = 1_000_000
+
+
+def _occurrence_frame(t: pa.Table) -> pd.DataFrame:
+    """Per-line occurrence rows of the synthesized pages: batch-local
+    row, line index, global owner key, line text, 64-bit line hash."""
+    ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+    s = pd.Series(_synth_pages(t).to_pandas(), copy=False)
+    lines = s.str.split("\n").explode()
+    row = lines.index.to_numpy()
+    ln = lines.groupby(level=0).cumcount().to_numpy()
+    return pd.DataFrame({
+        "row": row,
+        "ln": ln,
+        "owner": ids[row] * _LN_K + ln,
+        "line": lines.to_numpy(),
+        "lh": hash64_str(lines.tolist()).view(np.int64),
+    })
+
+
+def _assemble_clean(t: pa.Table, lf: pd.DataFrame,
+                    drop_mask: np.ndarray) -> pa.Table:
+    """Rebuild (doc_id, clean_text, n_dropped) from per-occurrence
+    drop decisions over one input batch."""
+    kept = lf[~drop_mask]
+    joined = kept.groupby("row", sort=True)["line"].agg("\n".join)
+    clean = pd.Series([""] * t.num_rows)
+    clean[joined.index] = joined
+    dropped = pd.Series(np.zeros(t.num_rows, dtype=np.int64))
+    drop_counts = lf[drop_mask].groupby("row", sort=True).size()
+    dropped[drop_counts.index] = drop_counts
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "clean_text": pa.array(clean.tolist(), pa.string()),
+        "n_dropped": pa.array(dropped.to_numpy(), pa.int64()),
+    })
+
+
+_LDF_EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "clean_text": pa.array([], pa.string()),
+                       "n_dropped": pa.array([], pa.int64())})
+
+
+def line_dedup_first_ds(docs: "ray.data.Dataset",
+                        plan: str = "auto") -> "ray.data.Dataset":
+    """Keep-first exact line dedup: a line occurring at several
+    (doc, position) sites corpus-wide survives only at its globally
+    first site — min ``doc_id * K + ln`` wins, every later occurrence
+    is dropped.  This is the keep-ONE-copy semantics of sub-document
+    exact dedup (C4's duplicated-span discard, Raffel et al. 2020 §2.2;
+    RefinedWeb exact substring dedup, Penedo et al. 2023 §3.2) — the
+    complement of :func:`remove_frequent_lines`, which drops ALL copies
+    of over-frequent lines; ≙ the reference's keep-first prune
+    (files/prune.go:175-204) applied at line granularity.
+
+    Scale plan: pass 1 moves only (line-hash, min-owner, count) int64
+    partials — a per-batch map-side combiner, then one skinny
+    ``groupby(lh).aggregate(Min, Sum)``; only hashes with count ≥ 2
+    need a decision.  Pass 2 either broadcasts the sorted dup-winner
+    arrays (small side) or, above ``_DUP_BROADCAST_MAX`` winner rows,
+    ships skinny occurrence rows through a ``grouped_apply`` on the
+    line hash to emit per-occurrence drop keys, which then join the
+    (unshuffled) text by a second grouped pass on ``doc_id`` — document
+    text crosses the wire once, drop keys are int64 pairs.  Both plans
+    are equality-tested (``plan=`` forces one).
+
+    The dedup key is the engine's 64-bit line hash; the oracle groups
+    by the line string itself, so a collision would surface as a hash
+    mismatch (same accepted bound as the fused shuffle's uid64,
+    stages/buckets.py).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lh": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lf = _occurrence_frame(t)
+        g = lf.groupby("lh", sort=False)["owner"]
+        mn = g.min()
+        return pa.table({"lh": pa.array(mn.index.to_numpy(), pa.int64()),
+                         "w": pa.array(mn.to_numpy(), pa.int64()),
+                         "n": pa.array(g.size().to_numpy(), pa.int64())})
+
+    dups = (docs.map_batches(partial, batch_format="pyarrow")
+                .groupby("lh")
+                .aggregate(Min("w", alias_name="w"),
+                           Sum("n", alias_name="n"))
+                .filter(expr="n >= 2")
+                .select_columns(["lh", "w"])
+                .materialize())
+
+    if plan == "auto":
+        plan = ("broadcast" if dups.count() <= _DUP_BROADCAST_MAX
+                else "keyed")
+
+    if plan == "broadcast":
+        parts = [b for b in dups.iter_batches(batch_format="pyarrow")]
+        lh_all = (np.concatenate([b["lh"].to_numpy() for b in parts])
+                  if parts else np.array([], dtype=np.int64))
+        w_all = (np.concatenate([b["w"].to_numpy() for b in parts])
+                 if parts else np.array([], dtype=np.int64))
+        order = np.argsort(lh_all)
+        ref = ray.put((lh_all[order], w_all[order]))
+
+        def drop_later(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _LDF_EMPTY
+            lh_s, w_s = ray.get(ref)
+            lf = _occurrence_frame(t)
+            lh = lf["lh"].to_numpy()
+            idx = np.searchsorted(lh_s, lh)
+            idx_c = np.minimum(idx, max(len(lh_s) - 1, 0))
+            found = (len(lh_s) > 0) & (lh_s[idx_c] == lh)
+            drop = found & (lf["owner"].to_numpy() != w_s[idx_c])
+            return _assemble_clean(t, lf, drop)
+
+        return docs.map_batches(drop_later, batch_format="pyarrow")
+
+    # keyed plan: no driver-side winner collect.  Stage A co-locates
+    # skinny occurrence rows with winner rows on lh and emits only the
+    # DROPPED (doc_id, ln) keys; stage B co-locates those keys with the
+    # document text on doc_id and rebuilds the page.
+    from ..stages.common import grouped_apply
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lh": pa.array([], pa.int64()),
+                             "owner": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "__m": pa.array([], pa.int8())})
+        lf = _occurrence_frame(t)
+        n = len(lf)
+        return pa.table({
+            "lh": pa.array(lf["lh"].to_numpy(), pa.int64()),
+            "owner": pa.array(lf["owner"].to_numpy(), pa.int64()),
+            "w": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "__m": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "lh": t["lh"],
+            "owner": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "w": t["w"],
+            "__m": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    both = (docs.map_batches(occ_rows, batch_format="pyarrow")
+                .union(dups.map_batches(win_rows, batch_format="pyarrow")))
+
+    def emit_drops(df: pd.DataFrame) -> pd.DataFrame:
+        wins = df[df["__m"] == 1].set_index("lh")["w"]
+        occ = df[df["__m"] == 0]
+        # fillna(-1) keeps the compare in exact int64 (owners are >= 0;
+        # float64 would drop low bits past 2^53 at 10^10-doc scale)
+        w = wins.reindex(occ["lh"]).fillna(-1).to_numpy().astype(np.int64)
+        drop = (w >= 0) & (occ["owner"].to_numpy() != w)
+        return pd.DataFrame({"drop_key": occ.loc[drop, "owner"].to_numpy()})
+
+    drops = grouped_apply(
+        both, ["lh"], emit_drops,
+        empty_result=pa.table({"drop_key": pa.array([], pa.int64())}))
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "drop_key": pa.array(
+                np.full(len(t), -1, np.int64), pa.int64()),
+        })
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        keys = t["drop_key"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(keys // _LN_K, pa.int64()),
+            "text": pa.array([""] * len(t), pa.string()),
+            "drop_key": t["drop_key"],
+        })
+
+    merged = (docs.map_batches(doc_rows, batch_format="pyarrow")
+                  .union(drops.map_batches(drop_rows,
+                                           batch_format="pyarrow")))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df[df["drop_key"] >= 0]
+        drop_keys = np.sort(dd["drop_key"].to_numpy())
+        d = df[df["drop_key"] < 0].sort_values("doc_id")
+        if not len(d):
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "clean_text": np.array([], object),
+                                 "n_dropped": np.array([], np.int64)})
+        t = pa.table({"doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                      "text": pa.array(d["text"].tolist(), pa.string())})
+        lf = _occurrence_frame(t)
+        idx = np.searchsorted(drop_keys, lf["owner"].to_numpy())
+        idx_c = np.minimum(idx, max(len(drop_keys) - 1, 0))
+        drop = ((len(drop_keys) > 0)
+                & (drop_keys[idx_c] == lf["owner"].to_numpy()))
+        return _assemble_clean(t, lf, drop).to_pandas()
+
+    return grouped_apply(merged, ["doc_id"], rebuild,
+                         empty_result=_LDF_EMPTY)
+
+
+def line_dedup_first(sf_dir: str) -> "ray.data.Dataset":
+    return line_dedup_first_ds(_read_docs(sf_dir, ["doc_id", "text"]))
+
+
+register(
+    "line_dedup_first",
+    line_dedup_first,
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '{_NAV}' || chr(10) ||
+             'sec ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             text || chr(10) ||
+             'tag ' || CAST(doc_id % 11 AS VARCHAR) || chr(10) ||
+             '{_FOOTER}' AS page
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(page, chr(10))) AS line,
+             unnest(range(len(string_split(page, chr(10))))) AS ln
+      FROM pages),
+    marked AS (
+      SELECT doc_id, line, ln,
+             doc_id * {_LN_K} + ln
+               = MIN(doc_id * {_LN_K} + ln) OVER (PARTITION BY line)
+                 AS keep
+      FROM lines)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY ln), '') AS clean_text,
+           CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # composite curation pipeline
 # --------------------------------------------------------------------------
 

@@ -108,3 +108,56 @@ def test_curation_pipeline_stages_visible(registry):
         assert len(txt) >= 250
     # stage 5: content hashes unique after keep-first
     assert out["content_hash"].is_unique
+
+
+def test_line_dedup_first_keep_first_law(registry):
+    from deduplicator_go_ray.pipelines.scrub import _FOOTER, _NAV
+
+    out = (registry["line_dedup_first"](SF_DIR).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 500
+    # exactly one copy of every duplicated line survives corpus-wide:
+    # nav + footer keep 1 of 500 each, sec k 1 of ~71 (7 families),
+    # tag k 1 of ~45 (11 families) -> total drops = 4*500 - (unique
+    # body lines) - (2 + 7 + 11 survivors)... assert the exact global
+    # invariant instead: drops = occurrences - distinct lines among
+    # duplicated families = (500-1)*2 + (500-7) + (500-11)
+    assert int(out["n_dropped"].sum()) == (499 * 2) + 493 + 489
+    first = out.iloc[0]
+    # the globally-first doc keeps its full page
+    assert first["n_dropped"] == 0
+    assert first["clean_text"].startswith(_NAV)
+    assert first["clean_text"].endswith(_FOOTER)
+    # every later doc loses nav and footer (both owned by the first doc)
+    later = out.iloc[1:]
+    assert (later["n_dropped"] >= 2).all()
+    assert not later["clean_text"].str.contains(_NAV, regex=False).any()
+
+
+def test_line_dedup_first_plans_equal(ray_session):
+    from deduplicator_go_ray.pipelines.scrub import (_read_docs,
+                                                     line_dedup_first_ds)
+
+    frames = []
+    for plan in ("broadcast", "keyed"):
+        frames.append(
+            line_dedup_first_ds(_read_docs(SF_DIR, ["doc_id", "text"]),
+                                plan=plan)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_line_dedup_first_blocking_invariant(ray_session):
+    import ray.data as rd
+
+    from deduplicator_go_ray.pipelines import scrub as s
+
+    frames = []
+    for blocks in (1, 9):
+        docs = rd.read_parquet(
+            SF_DIR + "/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=blocks)
+        frames.append(
+            s.line_dedup_first_ds(docs, plan="keyed").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
