@@ -48,7 +48,11 @@ def cmd_run(args: argparse.Namespace) -> int:
         run_simhash=not args.no_simhash,
         sig_store_dir=args.sig_store,
     )
-    pages = ray.data.read_parquet(args.input)
+    from .sources.pages import read_pages
+
+    # format inferred from the extension: parquet / jsonl / csv all land
+    # on the canonical pages schema (and parquet prunes at the read)
+    pages = read_pages(args.input)
     if args.count:
         # ≙ --count caps (files/types.go); preserve_order pins WHICH
         # rows the cap takes — without it the streaming executor's

@@ -1,10 +1,14 @@
 """Pages-table sources.
 
-``read_pages``: the production path — a Parquet directory/file of
-Common-Crawl-style pages with columns (url, warc_ts, html, text, lang)
-per BASELINE.json ``input_hint``, read with column pruning (≙ S1-S2,
-``files/process.go:19-128`` / ``files/find.go:18-241``: ingest is a
-parallel listing+stat, here Ray's parquet shard discovery).
+``read_pages``: the production path — a Parquet / JSONL / CSV
+directory-or-file of Common-Crawl-style pages with columns
+(url, warc_ts, html, text, lang) per BASELINE.json ``input_hint``
+(≙ S1-S2, ``files/process.go:19-128`` / ``files/find.go:18-241``:
+the reference ingests whatever files the walk finds; here the format
+is inferred from the extension and every format lands on the same
+canonical Arrow schema).  Parquet prunes columns at the read; the
+row-oriented formats parse first and prune in the normalizing map
+(inherent to JSONL/CSV — they are not columnar).
 
 ``pages_from_documents``: deterministic adapter building a pages table
 from the driver's read-only ``documents`` testdata table (doc_id, text,
@@ -25,9 +29,80 @@ from .corpus import EPOCH_US
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
+_JSON_EXTS = {"json", "jsonl", "ndjson"}
 
-def read_pages(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(path, columns=columns or PAGES_COLUMNS)
+
+def _infer_format(path: str) -> str:
+    """Format from the extension of `path`, or of the first data file
+    inside it when `path` is a directory (one driver-side listing)."""
+    name = path
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith((".", "_")):
+                name = entry
+                break
+    ext = os.path.splitext(name)[1].lower().lstrip(".")
+    if ext in _JSON_EXTS:
+        return "json"
+    if ext == "csv":
+        return "csv"
+    return "parquet"
+
+
+def _normalize_pages(t: pa.Table, columns: list[str]) -> pa.Table:
+    """Map a parsed JSONL/CSV batch onto the canonical pages schema:
+    url/text/lang as string, html as binary (utf-8 when the source is
+    textual), warc_ts as timestamp[us] — accepted as native timestamps,
+    int64 epoch-microseconds, or ISO-8601 strings.  Absent columns
+    become typed nulls so downstream stages see one stable schema."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    present = set(t.column_names)
+    out = {}
+    for c in columns:
+        if c not in present:
+            typ = (pa.timestamp("us") if c == "warc_ts"
+                   else pa.binary() if c == "html" else pa.string())
+            out[c] = pa.nulls(n, typ)
+            continue
+        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) \
+            else t[c]
+        if c == "warc_ts":
+            if pa.types.is_timestamp(col.type):
+                out[c] = pc.cast(col, pa.timestamp("us"))
+            elif pa.types.is_integer(col.type):
+                out[c] = pc.cast(col, pa.timestamp("us"))
+            else:
+                out[c] = pc.strptime(pc.utf8_slice_codeunits(
+                    pc.cast(col, pa.string()), 0, 19),
+                    format="%Y-%m-%dT%H:%M:%S", unit="us")
+        elif c == "html":
+            out[c] = pc.cast(col, pa.binary())
+        else:
+            out[c] = pc.cast(col, pa.string())
+    return pa.table(out)
+
+
+def read_pages(path: str, columns: list[str] | None = None,
+               fmt: str | None = None) -> "ray.data.Dataset":
+    fmt = fmt or _infer_format(path)
+    cols = columns or PAGES_COLUMNS
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=cols)
+    if fmt == "json":
+        ds = ray.data.read_json(path)
+    elif fmt == "csv":
+        # CSV can't distinguish empty from absent — read "" as null so
+        # null pages roundtrip like the other formats
+        from pyarrow import csv as _pacsv
+        ds = ray.data.read_csv(
+            path,
+            convert_options=_pacsv.ConvertOptions(strings_can_be_null=True))
+    else:
+        raise ValueError(f"unknown pages format: {fmt!r}")
+    return ds.map_batches(lambda t: _normalize_pages(t, cols),
+                          batch_format="pyarrow")
 
 
 def _wrap_doc_html(title: str, body: str, url: str) -> bytes:

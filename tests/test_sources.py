@@ -1,0 +1,115 @@
+"""Multi-format pages ingestion: JSONL and CSV land on the same
+canonical Arrow schema as Parquet (S1 — the reference ingests whatever
+files the walk finds; files/process.go:19-128).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.parquet as pq
+import pytest
+
+from deduplicator_go_ray.sources.pages import (PAGES_COLUMNS,
+                                               _infer_format, read_pages)
+
+_ROWS = [
+    # url, epoch-us, html, text, lang
+    ("https://a.example/1", 1_577_836_800_000_000,
+     "<html><body><p>alpha beta</p></body></html>", "alpha beta", "en"),
+    ("https://a.example/2", 1_577_836_860_000_000,
+     "<html><body><p>comma, \"quote\" and\nnewline</p></body></html>",
+     "comma, \"quote\" and\nnewline", "en"),
+    ("https://b.example/3", 1_577_836_920_000_000,
+     "<html><body><p>zahl drei</p></body></html>", "zahl drei", "de"),
+    ("https://b.example/4", 1_577_836_980_000_000, None, None, None),
+]
+
+
+def _canonical() -> pa.Table:
+    return pa.table({
+        "url": pa.array([r[0] for r in _ROWS], pa.string()),
+        "warc_ts": pa.array([r[1] for r in _ROWS], pa.int64()).cast(
+            pa.timestamp("us")),
+        "html": pa.array(
+            [r[2].encode() if r[2] is not None else None for r in _ROWS],
+            pa.binary()),
+        "text": pa.array([r[3] for r in _ROWS], pa.string()),
+        "lang": pa.array([r[4] for r in _ROWS], pa.string()),
+    })
+
+
+def _as_frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    df["html"] = df["html"].map(
+        lambda b: bytes(b) if b is not None else None)
+    return df
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pages_formats")
+    want = _canonical()
+
+    pq_dir = root / "parquet"
+    pq_dir.mkdir()
+    pq.write_table(want, pq_dir / "part-0.parquet")
+
+    jl_dir = root / "jsonl"
+    jl_dir.mkdir()
+    with open(jl_dir / "part-0.jsonl", "w") as f:
+        for url, ts, html, text, lang in _ROWS:
+            f.write(json.dumps({"url": url, "warc_ts": ts, "html": html,
+                                "text": text, "lang": lang}) + "\n")
+
+    csv_dir = root / "csv"
+    csv_dir.mkdir()
+    csv_tbl = pa.table({
+        "url": want["url"],
+        "warc_ts": pa.array([r[1] for r in _ROWS], pa.int64()),
+        "html": pa.array([r[2] for r in _ROWS], pa.string()),
+        "text": want["text"],
+        "lang": want["lang"],
+    })
+    pacsv.write_csv(csv_tbl, csv_dir / "part-0.csv")
+
+    return {"parquet": str(pq_dir), "jsonl": str(jl_dir),
+            "csv": str(csv_dir), "want": want}
+
+
+def test_format_inference(corpora):
+    assert _infer_format(corpora["parquet"]) == "parquet"
+    assert _infer_format(corpora["jsonl"]) == "json"
+    assert _infer_format(corpora["csv"]) == "csv"
+    assert _infer_format("/x/pages.ndjson") == "json"
+    assert _infer_format("/x/pages.csv") == "csv"
+
+
+def test_jsonl_and_csv_match_parquet(ray_session, corpora):
+    want = _as_frame(read_pages(corpora["parquet"]))
+    assert list(want.columns) == PAGES_COLUMNS
+    for key in ("jsonl", "csv"):
+        got = _as_frame(read_pages(corpora[key]))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_iso_string_timestamps(ray_session, tmp_path):
+    path = tmp_path / "iso.jsonl"
+    with open(path, "w") as f:
+        f.write(json.dumps({"url": "https://a.example/1",
+                            "warc_ts": "2020-01-01T00:00:00",
+                            "text": "x"}) + "\n")
+    df = read_pages(str(path)).to_pandas()
+    assert df.loc[0, "warc_ts"] == pd.Timestamp("2020-01-01T00:00:00")
+    # absent columns come back as typed nulls, schema stays canonical
+    assert list(df.columns) == PAGES_COLUMNS
+    assert df.loc[0, "html"] is None and df.loc[0, "lang"] is None
+
+
+def test_column_pruning_arg(ray_session, corpora):
+    got = read_pages(corpora["jsonl"], columns=["url", "lang"]).to_pandas()
+    assert list(got.columns) == ["url", "lang"]
