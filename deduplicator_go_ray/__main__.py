@@ -67,7 +67,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         n = out.count()
     else:
         ds = run_dedup(pages, cfg)
-        ds.write_parquet(args.output)
+        if args.output_format == "jsonl":
+            ds.write_json(args.output)
+        else:
+            ds.write_parquet(args.output)
         n = ds.count()
     print(json.dumps({"assignments": n, "output": args.output}))
     ray.shutdown()
@@ -127,9 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicator_go_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    r = sub.add_parser("run", help="dedup a pages parquet table")
+    r = sub.add_parser("run", help="dedup a pages table "
+                                   "(parquet / jsonl / csv input)")
     r.add_argument("--input", required=True)
     r.add_argument("--output", required=True)
+    r.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="assignment sink format (default parquet; "
+                        "checkpointed runs are always parquet)")
     r.add_argument("--checkpointed", action="store_true")
     r.add_argument("--partitions", type=int, default=64)
     r.add_argument("--min-size", type=int, default=0)

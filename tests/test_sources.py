@@ -113,3 +113,28 @@ def test_iso_string_timestamps(ray_session, tmp_path):
 def test_column_pruning_arg(ray_session, corpora):
     got = read_pages(corpora["jsonl"], columns=["url", "lang"]).to_pandas()
     assert list(got.columns) == ["url", "lang"]
+
+
+def test_cli_jsonl_in_jsonl_out(ray_session, tmp_path, monkeypatch):
+    """The CLI flagship runs on a JSONL corpus and can sink JSONL."""
+    import ray
+
+    # cmd_run tears the session down for standalone use; keep the
+    # shared test session alive
+    monkeypatch.setattr(ray, "shutdown", lambda: None)
+    from deduplicator_go_ray.__main__ import main
+
+    src = tmp_path / "pages.jsonl"
+    with open(src, "w") as f:
+        for url, ts, html, text, lang in _ROWS[:3]:
+            f.write(json.dumps({"url": url, "warc_ts": ts, "html": html,
+                                "text": text, "lang": lang}) + "\n")
+    out = tmp_path / "assignments"
+    rc = main(["run", "--input", str(src), "--output", str(out),
+               "--output-format", "jsonl",
+               "--no-substring", "--no-simhash"])
+    assert rc == 0
+    rows = [json.loads(line)
+            for p in sorted(out.iterdir()) for line in open(p)]
+    assert {r["url"] for r in rows} == {r[0] for r in _ROWS[:3]}
+    assert all(r["action"] in ("keep", "drop", "error") for r in rows)
