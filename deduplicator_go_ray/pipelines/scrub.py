@@ -260,6 +260,75 @@ register(
 
 
 # --------------------------------------------------------------------------
+# unicode text normalization
+# --------------------------------------------------------------------------
+
+
+def normalize_text(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical text normalization — the normalize-BEFORE-hash step of
+    every dedup/curation stack (without it, byte-different encodings of
+    the same text defeat exact and near dedup alike): Unicode NFC,
+    whitespace-run collapse to one space, edge trim.  Collapse and trim
+    are zero-copy Arrow RE2 kernels; the NFC step is pandas
+    ``.str.normalize`` (unicodedata) because **pyarrow 16.1's
+    ``utf8_normalize(form="NFC")`` does not compose** — verified:
+    ``e + U+0301`` passes through as two codepoints under every form,
+    while DuckDB's utf8proc ``nfc_normalize`` and Python's unicodedata
+    both compose to ``U+00E9``.  Both oracle sides therefore agree on
+    real NFC; the per-element normalize is the cost of correctness for
+    this scalar op (same accepted trade as ``_md5_lower64``).
+
+    The synthetic corpus is ASCII, so the query first appends a
+    deterministic unicode-hostile suffix (a pure function of doc_id,
+    derivable in SQL): a decomposed e + COMBINING ACUTE (NFC composes
+    it), a tab, doubled spaces, and a newline.
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+        text = (t["text"].combine_chunks()
+                if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        raw = pc.binary_join_element_wise(
+            text, " café\t  x", pa.array((ids % 5).astype(str)),
+            "\n ", "")
+        norm = pa.array(raw.to_pandas().str.normalize("NFC"), pa.string())
+        collapsed = pc.replace_substring_regex(
+            norm, pattern=r"\s+", replacement=" ")
+        trimmed = pc.utf8_trim(collapsed, characters=" ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": trimmed,
+            "n_chars_raw": pc.cast(pc.utf8_length(raw), pa.int64()),
+            "n_chars_norm": pc.cast(pc.utf8_length(trimmed), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+register(
+    "normalize_text",
+    normalize_text,
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || chr(9) || '  x'
+                  || CAST(doc_id % 5 AS VARCHAR) || chr(10) || ' ' AS raw
+      FROM documents),
+    n AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(nfc_normalize(raw), '\s+', ' ', 'g'),
+                  ' ') AS norm_text
+      FROM aug)
+    SELECT doc_id, norm_text,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # keep-first line dedup
 # --------------------------------------------------------------------------
 

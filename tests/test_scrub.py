@@ -161,3 +161,33 @@ def test_line_dedup_first_blocking_invariant(ray_session):
             s.line_dedup_first_ds(docs, plan="keyed").to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_normalize_text_known_answers(registry):
+    out = (registry["normalize_text"](SF_DIR).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 500
+    first = out.iloc[0]
+    # NFC composed the decomposed e+U+0301 (pyarrow's utf8_normalize
+    # does NOT — see the docstring), whitespace runs collapsed, edges
+    # trimmed
+    assert first["norm_text"].endswith(" café x0")
+    assert "́" not in first["norm_text"]
+    assert "\t" not in first["norm_text"] and "  " not in first["norm_text"]
+    assert not first["norm_text"].endswith(" ")
+    # the suffix alone loses >= 5 codepoints to compose+collapse+trim
+    assert ((out["n_chars_raw"] - out["n_chars_norm"]) >= 5).all()
+    # pure-Python reference on a sample of rows
+    import re
+    import unicodedata
+
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 5").fetchall()
+    for doc_id, text in docs:
+        raw = text + " cafe\u0301\t  x" + str(doc_id % 5) + "\n "
+        want = re.sub(r"\s+", " ",
+                      unicodedata.normalize("NFC", raw)).strip(" ")
+        got = out.loc[out["doc_id"] == doc_id, "norm_text"].iloc[0]
+        assert got == want
