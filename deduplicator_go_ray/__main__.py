@@ -48,6 +48,12 @@ def cmd_run(args: argparse.Namespace) -> int:
         run_simhash=not args.no_simhash,
         sig_store_dir=args.sig_store,
     )
+    if args.checkpointed and args.output_format != "parquet":
+        print("error: --checkpointed writes parquet checkpoints; "
+              "--output-format jsonl is not supported with it",
+              file=sys.stderr)
+        return 2
+
     from .sources.pages import read_pages
 
     # format inferred from the extension: parquet / jsonl / csv all land

@@ -32,21 +32,38 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 _JSON_EXTS = {"json", "jsonl", "ndjson"}
 
 
-def _infer_format(path: str) -> str:
-    """Format from the extension of `path`, or of the first data file
-    inside it when `path` is a directory (one driver-side listing)."""
-    name = path
-    if os.path.isdir(path):
-        for entry in sorted(os.listdir(path)):
-            if not entry.startswith((".", "_")):
-                name = entry
-                break
-    ext = os.path.splitext(name)[1].lower().lstrip(".")
+def _ext_format(name: str) -> str | None:
+    """Known data format for one file name, else None.  A trailing
+    compression suffix is transparent (part-0.jsonl.gz → json)."""
+    base = name.lower()
+    if base.endswith((".gz", ".zst", ".bz2")):
+        base = os.path.splitext(base)[0]
+    ext = os.path.splitext(base)[1].lstrip(".")
     if ext in _JSON_EXTS:
         return "json"
     if ext == "csv":
         return "csv"
-    return "parquet"
+    if ext == "parquet":
+        return "parquet"
+    return None
+
+
+def _infer_format(path: str) -> str:
+    """Format from the extension of `path`, or of the first entry with
+    a recognized data extension inside it when `path` is a local
+    directory (one driver-side listing; entries without a recognized
+    extension — subdirectories, READMEs — are skipped).  Defaults to
+    parquet; pass ``fmt=`` explicitly for layouts this can't see
+    (remote URIs, nested shard directories)."""
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith((".", "_")):
+                continue
+            f = _ext_format(entry)
+            if f is not None:
+                return f
+        return "parquet"
+    return _ext_format(path) or "parquet"
 
 
 def _normalize_pages(t: pa.Table, columns: list[str]) -> pa.Table:
@@ -74,9 +91,27 @@ def _normalize_pages(t: pa.Table, columns: list[str]) -> pa.Table:
             elif pa.types.is_integer(col.type):
                 out[c] = pc.cast(col, pa.timestamp("us"))
             else:
-                out[c] = pc.strptime(pc.utf8_slice_codeunits(
-                    pc.cast(col, pa.string()), 0, 19),
-                    format="%Y-%m-%dT%H:%M:%S", unit="us")
+                s = pc.cast(col, pa.string())
+                # reject timezone-aware strings loudly instead of
+                # silently truncating the offset into a wrong naive time
+                tz = pc.match_substring_regex(
+                    s, pattern=r"([+-]\d{2}:?\d{2}|[Zz])$")
+                if pc.any(pc.fill_null(tz, False)).as_py():
+                    raise ValueError(
+                        "timezone-aware warc_ts strings are not "
+                        "supported; provide naive ISO-8601 or int64 "
+                        "epoch-microseconds")
+                # normalize: 'T' or space separator, optional fractional
+                # seconds (truncated), date-only → midnight
+                s = pc.replace_substring_regex(
+                    s, pattern=r"^(\d{4}-\d{2}-\d{2}) ", replacement=r"\1T")
+                s = pc.replace_substring_regex(
+                    s, pattern=r"\.\d+$", replacement="")
+                s = pc.replace_substring_regex(
+                    s, pattern=r"^(\d{4}-\d{2}-\d{2})$",
+                    replacement=r"\1T00:00:00")
+                out[c] = pc.strptime(
+                    s, format="%Y-%m-%dT%H:%M:%S", unit="us")
         elif c == "html":
             out[c] = pc.cast(col, pa.binary())
         else:
@@ -91,14 +126,20 @@ def read_pages(path: str, columns: list[str] | None = None,
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=cols)
     if fmt == "json":
-        ds = ray.data.read_json(path)
+        # file_extensions=None: Ray's default filter excludes .ndjson
+        # (and extension-less shards) even though the reader parses them
+        ds = ray.data.read_json(path, file_extensions=None)
     elif fmt == "csv":
-        # CSV can't distinguish empty from absent — read "" as null so
-        # null pages roundtrip like the other formats
+        # CSV can't distinguish empty from absent — read "" (and ONLY
+        # "") as null so null pages roundtrip like the other formats;
+        # pyarrow's default null_values would also eat literal 'NA' /
+        # 'nan' / 'null' cells, diverging from parquet/jsonl ingest of
+        # the same corpus
         from pyarrow import csv as _pacsv
         ds = ray.data.read_csv(
             path,
-            convert_options=_pacsv.ConvertOptions(strings_can_be_null=True))
+            convert_options=_pacsv.ConvertOptions(
+                strings_can_be_null=True, null_values=[""]))
     else:
         raise ValueError(f"unknown pages format: {fmt!r}")
     return ds.map_batches(lambda t: _normalize_pages(t, cols),

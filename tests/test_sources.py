@@ -138,3 +138,81 @@ def test_cli_jsonl_in_jsonl_out(ray_session, tmp_path, monkeypatch):
             for p in sorted(out.iterdir()) for line in open(p)]
     assert {r["url"] for r in rows} == {r[0] for r in _ROWS[:3]}
     assert all(r["action"] in ("keep", "drop", "error") for r in rows)
+
+
+def test_ndjson_and_gz_inference_and_read(ray_session, tmp_path):
+    src = tmp_path / "pages.ndjson"
+    with open(src, "w") as f:
+        f.write(json.dumps({"url": "u", "warc_ts": 1, "text": "x"}) + "\n")
+    assert _infer_format(str(src)) == "json"
+    df = read_pages(str(src)).to_pandas()
+    assert df.loc[0, "url"] == "u"
+    # directory whose first sorted entries are a subdir and a README:
+    # inference skips to the recognized data file
+    d = tmp_path / "mixed"
+    (d / "00_nested").mkdir(parents=True)
+    (d / "README.txt").write_text("notes")
+    (src2 := d / "part-0.jsonl").write_text(
+        json.dumps({"url": "v", "warc_ts": 2, "text": "y"}) + "\n")
+    assert _infer_format(str(d)) == "json"
+    assert _infer_format("/x/part-0.jsonl.gz") == "json"
+
+
+def test_warc_ts_string_variants(ray_session, tmp_path):
+    rows = [
+        {"url": "a", "warc_ts": "2020-01-01T00:00:05"},
+        {"url": "b", "warc_ts": "2020-01-01 00:00:05"},
+        {"url": "c", "warc_ts": "2020-01-01T00:00:05.123456"},
+        {"url": "d", "warc_ts": "2020-01-01"},
+    ]
+    src = tmp_path / "ts.jsonl"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = read_pages(str(src)).to_pandas().sort_values("url")
+    ts = df["warc_ts"].tolist()
+    assert ts[0] == ts[1] == ts[2] == pd.Timestamp("2020-01-01T00:00:05")
+    assert ts[3] == pd.Timestamp("2020-01-01T00:00:00")
+    # uniformly tz-aware inputs parse natively in the Arrow JSON reader
+    # and convert to naive UTC
+    tz = tmp_path / "tz.jsonl"
+    tz.write_text(json.dumps(
+        {"url": "e", "warc_ts": "2020-01-01T00:00:05+02:00"}) + "\n")
+    df2 = read_pages(str(tz)).to_pandas()
+    assert df2.loc[0, "warc_ts"] == pd.Timestamp("2019-12-31T22:00:05")
+    # mixed offset/naive strings dodge the reader's inference and reach
+    # the string path, which fails loudly instead of silently shifting
+    bad = tmp_path / "tz_mixed.jsonl"
+    bad.write_text(
+        json.dumps({"url": "f", "warc_ts": "2020-01-01T00:00:05+02:00"})
+        + "\n"
+        + json.dumps({"url": "g", "warc_ts": "bad 2020"}) + "\n")
+    with pytest.raises(Exception, match="timezone-aware"):
+        read_pages(str(bad)).to_pandas()
+
+
+def test_csv_literal_na_survives(ray_session, tmp_path):
+    import pyarrow.csv as _pacsv
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    tbl = pa.table({"url": ["u1", "u2"], "warc_ts": [1, 2],
+                    "text": ["NA", None], "lang": ["nan", "en"]})
+    _pacsv.write_csv(tbl, d / "p.csv")
+    df = read_pages(str(d)).to_pandas().sort_values("url")
+    # literal 'NA'/'nan' cells are data; only empty cells are null
+    assert df["text"].tolist()[0] == "NA"
+    assert df["lang"].tolist()[0] == "nan"
+    assert df["text"].tolist()[1] is None
+
+
+def test_cli_rejects_checkpointed_jsonl(ray_session, tmp_path, monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "shutdown", lambda: None)
+    from deduplicator_go_ray.__main__ import main
+
+    rc = main(["run", "--input", str(tmp_path), "--output",
+               str(tmp_path / "o"), "--checkpointed",
+               "--output-format", "jsonl"])
+    assert rc == 2
