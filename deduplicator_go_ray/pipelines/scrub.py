@@ -289,8 +289,11 @@ def normalize_text(sf_dir: str) -> "ray.data.Dataset":
         ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
         text = (t["text"].combine_chunks()
                 if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        # NFD on purpose (e + U+0301, matching the oracle's chr(769));
+        # spelled as an escape so an NFC-normalizing editor can't
+        # silently compose it and shift n_chars_raw by 1
         raw = pc.binary_join_element_wise(
-            text, " café\t  x", pa.array((ids % 5).astype(str)),
+            text, " cafe\u0301\t  x", pa.array((ids % 5).astype(str)),
             "\n ", "")
         norm = pa.array(raw.to_pandas().str.normalize("NFC"), pa.string())
         collapsed = pc.replace_substring_regex(
@@ -451,10 +454,14 @@ def line_dedup_first_ds(docs: "ray.data.Dataset",
                 return _LDF_EMPTY
             lh_s, w_s = ray.get(ref)
             lf = _occurrence_frame(t)
+            # numpy & does not short-circuit: with zero corpus-wide dup
+            # lines lh_s is empty and lh_s[idx_c] would IndexError
+            if len(lh_s) == 0:
+                return _assemble_clean(t, lf, np.zeros(len(lf), bool))
             lh = lf["lh"].to_numpy()
             idx = np.searchsorted(lh_s, lh)
-            idx_c = np.minimum(idx, max(len(lh_s) - 1, 0))
-            found = (len(lh_s) > 0) & (lh_s[idx_c] == lh)
+            idx_c = np.minimum(idx, len(lh_s) - 1)
+            found = lh_s[idx_c] == lh
             drop = found & (lf["owner"].to_numpy() != w_s[idx_c])
             return _assemble_clean(t, lf, drop)
 
@@ -496,9 +503,10 @@ def line_dedup_first_ds(docs: "ray.data.Dataset",
     def emit_drops(df: pd.DataFrame) -> pd.DataFrame:
         wins = df[df["__m"] == 1].set_index("lh")["w"]
         occ = df[df["__m"] == 0]
-        # fillna(-1) keeps the compare in exact int64 (owners are >= 0;
-        # float64 would drop low bits past 2^53 at 10^10-doc scale)
-        w = wins.reindex(occ["lh"]).fillna(-1).to_numpy().astype(np.int64)
+        # fill_value=-1 keeps reindex in exact int64 (owners are >= 0);
+        # .fillna(-1) would upcast through float64 on any miss and drop
+        # low bits past 2^53 at 10^10-doc scale
+        w = wins.reindex(occ["lh"], fill_value=-1).to_numpy().astype(np.int64)
         drop = (w >= 0) & (occ["owner"].to_numpy() != w)
         return pd.DataFrame({"drop_key": occ.loc[drop, "owner"].to_numpy()})
 
@@ -537,10 +545,14 @@ def line_dedup_first_ds(docs: "ray.data.Dataset",
         t = pa.table({"doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
                       "text": pa.array(d["text"].tolist(), pa.string())})
         lf = _occurrence_frame(t)
-        idx = np.searchsorted(drop_keys, lf["owner"].to_numpy())
-        idx_c = np.minimum(idx, max(len(drop_keys) - 1, 0))
-        drop = ((len(drop_keys) > 0)
-                & (drop_keys[idx_c] == lf["owner"].to_numpy()))
+        # a doc_id partition with no drop rows is routine on sparsely
+        # duplicated corpora; drop_keys[idx_c] on empty would IndexError
+        if len(drop_keys) == 0:
+            drop = np.zeros(len(lf), bool)
+        else:
+            idx = np.searchsorted(drop_keys, lf["owner"].to_numpy())
+            idx_c = np.minimum(idx, len(drop_keys) - 1)
+            drop = drop_keys[idx_c] == lf["owner"].to_numpy()
         return _assemble_clean(t, lf, drop).to_pandas()
 
     return grouped_apply(merged, ["doc_id"], rebuild,

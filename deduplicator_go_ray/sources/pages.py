@@ -126,9 +126,17 @@ def read_pages(path: str, columns: list[str] | None = None,
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=cols)
     if fmt == "json":
-        # file_extensions=None: Ray's default filter excludes .ndjson
-        # (and extension-less shards) even though the reader parses them
-        ds = ray.data.read_json(path, file_extensions=None)
+        # For a directory, filter to recognized data extensions so a
+        # stray README / checksum file doesn't fail the read (mirrors
+        # _infer_format, which skips such entries during inference).
+        # For an explicit single file keep file_extensions=None: Ray's
+        # default filter would exclude .ndjson and extension-less
+        # shards even though the reader parses them fine.
+        exts = None
+        if os.path.isdir(path):
+            exts = [e + c for e in ("json", "jsonl", "ndjson")
+                    for c in ("", ".gz", ".zst", ".bz2")]
+        ds = ray.data.read_json(path, file_extensions=exts)
     elif fmt == "csv":
         # CSV can't distinguish empty from absent — read "" (and ONLY
         # "") as null so null pages roundtrip like the other formats;

@@ -191,3 +191,49 @@ def test_normalize_text_known_answers(registry):
                       unicodedata.normalize("NFC", raw)).strip(" ")
         got = out.loc[out["doc_id"] == doc_id, "norm_text"].iloc[0]
         assert got == want
+
+
+def test_line_dedup_first_zero_dup_corpus(ray_session):
+    # ADVICE r2: numpy & does not short-circuit, so an empty winner set
+    # (single doc -> no line occurs twice corpus-wide) used to
+    # IndexError in BOTH plans (broadcast drop_later, keyed rebuild)
+    import ray.data as rd
+
+    from deduplicator_go_ray.pipelines.scrub import line_dedup_first_ds
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["only body line"], pa.string()),
+    }))
+    for plan in ("broadcast", "keyed"):
+        out = line_dedup_first_ds(docs, plan=plan).to_pandas()
+        assert len(out) == 1
+        assert out["n_dropped"].iloc[0] == 0
+        assert "only body line" in out["clean_text"].iloc[0]
+
+
+def test_line_dedup_first_huge_owner_keys_exact(ray_session):
+    # ADVICE r2: wins.reindex(...).fillna(-1) upcast owner keys through
+    # float64, silently corrupting keep/drop compares past 2^53.  With
+    # doc_id ~ 2^50 the owner key (doc_id*1024+ln) sits near 2^60 where
+    # float64 spacing is 128 -- the bug makes every occurrence look like
+    # the winner and nothing gets dropped on the keyed (scale) plan.
+    import ray.data as rd
+
+    from deduplicator_go_ray.pipelines.scrub import line_dedup_first_ds
+
+    base = 2 ** 50
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([base, base + 1], pa.int64()),
+        "text": pa.array(["shared body line", "shared body line"],
+                         pa.string()),
+    }))
+    frames = {}
+    for plan in ("broadcast", "keyed"):
+        frames[plan] = (line_dedup_first_ds(docs, plan=plan).to_pandas()
+                        .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames["broadcast"], frames["keyed"])
+    out = frames["keyed"]
+    # doc base owns nav, body and footer; doc base+1 loses all three
+    assert out["n_dropped"].tolist() == [0, 3]
+    assert "shared body line" not in out["clean_text"].iloc[1]
