@@ -148,3 +148,32 @@ def test_grouped_apply_packed_equals_unpacked(ray_session):
     a = a.sort_values("k").reset_index(drop=True)
     b = b.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_md5_hex16_matches_hashlib():
+    # lane-parallel MD5 (the cluster-id kernel) is bit-identical to
+    # hashlib across length boundaries (block splits at 55/56/63/64,
+    # multi-block, empty, multibyte utf-8)
+    import hashlib
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from deduplicator_go_ray.functions.hashing import md5_hex16
+
+    rng = random.Random(42)
+    vals = ["", "a", "héllo wörld \U0001F600" * 10]
+    for _ in range(2000):
+        fixed = [0, 1, 7, 54, 55, 56, 57, 63, 64, 65, 119, 120, 121,
+                 127, 128, 200, 500]
+        n = (rng.choice(fixed) if rng.random() < 0.5
+             else rng.randrange(0, 300))
+        vals.append("".join(rng.choice(string.printable)
+                            for _ in range(n)))
+    arr = pa.array(vals, pa.string())
+    want = [hashlib.md5(v.encode("utf-8")).hexdigest()[:16] for v in vals]
+    assert md5_hex16(arr).to_pylist() == want
+    # sliced + chunked inputs (non-zero offsets) hash identically
+    ch = pa.chunked_array([arr.slice(3, 40), arr.slice(100, 7)])
+    assert md5_hex16(ch).to_pylist() == want[3:43] + want[100:107]
