@@ -143,19 +143,26 @@ def verify_edges(
 
     def prep(side: str):
         # acero joins reject fixed_size_list payloads → ship the
-        # signature as one 8·P-byte binary scalar per row instead
+        # signature as one 8·P-byte fixed-size-binary scalar per row
+        # instead (zero-copy view of the contiguous signature matrix —
+        # no per-row tobytes loop)
         def f(batch: pa.Table) -> pa.Table:
             n = len(batch)
-            sig = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(n, P)
-            blobs = [sig[i].tobytes() for i in range(n)]
+            sig = np.ascontiguousarray(np.asarray(
+                batch["minhash"].combine_chunks().flatten()).reshape(n, P))
+            blob = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(8 * P), n, [None, pa.py_buffer(sig.tobytes())])
             return pa.table({
                 side: batch["url"],
-                f"sig_{side}": pa.array(blobs, pa.binary()),
+                f"sig_{side}": blob,
             })
         return f
 
+    # materialize between the two hash joins: one streaming DAG holding
+    # both shuffles can deadlock the executor (same ruling as the
+    # flagship's partitioned verify, pipelines/dedup.py flood branch)
     left = join_on(edges, skinny.map_batches(prep("u"), batch_format="pyarrow"),
-                   "u", num_partitions=num_partitions)
+                   "u", num_partitions=num_partitions).materialize()
     both = join_on(left, skinny.map_batches(prep("v"), batch_format="pyarrow"),
                    "v", num_partitions=num_partitions)
 
@@ -167,8 +174,17 @@ def verify_edges(
             return pa.table({"u": pa.array([], pa.string()),
                              "v": pa.array([], pa.string()),
                              "est_jaccard": pa.array([], pa.float64())})
-        a = np.frombuffer(b"".join(batch["sig_u"].to_pylist()), dtype=np.uint64).reshape(n, P)
-        b = np.frombuffer(b"".join(batch["sig_v"].to_pylist()), dtype=np.uint64).reshape(n, P)
+        def mat(col):
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if pa.types.is_fixed_size_binary(c.type):
+                return np.frombuffer(
+                    c.buffers()[1], dtype=np.uint64,
+                    count=len(c) * P, offset=c.offset * 8 * P).reshape(n, P)
+            return np.frombuffer(b"".join(c.to_pylist()),
+                                 dtype=np.uint64).reshape(n, P)
+
+        a = mat(batch["sig_u"])
+        b = mat(batch["sig_v"])
         est = (a == b).mean(axis=1)
         keep = est >= thr
         return pa.table({

@@ -236,3 +236,17 @@ def test_embedding_clusters_distributed_path_identical(registry, ray_session):
     dist = embedding_clusters(SF_DIR, max_driver_edges=0)
     pd.testing.assert_frame_equal(
         driver.reset_index(drop=True), dist.reset_index(drop=True))
+
+
+def test_pair_queries_verify_plans_equal(ray_session):
+    # VERDICT r2 #4: the standalone pair queries share the flagship's
+    # smallset_max_edges gate — the keyed (flood) twin must produce
+    # byte-identical pairs to the broadcast smallset plan
+    from deduplicator_go_ray.pipelines.dedup_queries import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+
+    for fn in (minhash_lsh_pairs, ngram_jaccard_pairs):
+        small = fn(SF_DIR, plan="smallset").reset_index(drop=True)
+        keyed = fn(SF_DIR, plan="keyed").reset_index(drop=True)
+        pd.testing.assert_frame_equal(small, keyed)
+        assert len(small) > 0, fn.__name__
