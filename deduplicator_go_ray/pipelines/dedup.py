@@ -180,10 +180,9 @@ def run_dedup(
     hashed = add_content_key(extracted).materialize()
     timer.tick("extract+hash")
     # ≙ every reference dup query excluding sentinel rows (files/utils.go:72)
+    # (the error branch lives inside _finish's selfcluster — see below)
     ok = hashed.map_batches(
         lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
-    err = hashed.map_batches(
-        lambda t: t.filter(pc.is_valid(t["error"])), batch_format="pyarrow")
 
     if cfg.min_size:
         # ≙ --min-size predicate (files/utils.go:77-81): tiny docs are
@@ -192,6 +191,58 @@ def run_dedup(
         ok = ok.filter(expr=f"n_bytes >= {int(cfg.min_size)}")
     else:
         small = None
+
+    # ---- shared tail: self-cluster pass-throughs + lineage ------------------
+    # (also the early-exit path for an empty / all-error corpus)
+    def selfcluster(kind: str, predicate):
+        # the branch filter is folded INTO this UDF: a separate fused
+        # filter stage yielding zero rows would make Ray skip this fn
+        # and emit a schema-less empty block that rides every downstream
+        # operator untouched (VERDICT r2 #9)
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(predicate(batch))
+            n = batch.num_rows
+            nb = (np.asarray(batch["n_bytes"], dtype=np.int64)
+                  if "n_bytes" in batch.column_names
+                  else np.zeros(n, np.int64))
+            return pa.table({
+                "url": batch["url"],
+                "cluster_id": md5_hex16(batch["url"]),
+                "keeper_url": batch["url"],
+                "is_keeper": pa.array(np.ones(n, bool), pa.bool_()),
+                "action": pa.array(np.full(n, "keep"), pa.string()),
+                "match_kind": pa.array(np.full(n, kind), pa.string()),
+                "n_bytes": pa.array(nb, pa.int64()),
+            })
+        return f
+
+    def _finish(assignments: "ray.data.Dataset",
+                num_partitions: int = num_partitions) -> "ray.data.Dataset":
+        # error rows + too-small rows pass through as self-clusters;
+        # both branch filters run inside selfcluster on the materialized
+        # `hashed` (no fused zero-row stage, see above)
+        parts = [assignments, hashed.map_batches(
+            selfcluster("error", lambda t: pc.is_valid(t["error"])),
+            batch_format="pyarrow")]
+        if cfg.min_size:
+            parts.append(hashed.map_batches(
+                selfcluster(
+                    "too_small",
+                    lambda t: pc.and_kleene(
+                        pc.is_null(t["error"]),
+                        pc.less(t["n_bytes"], pa.scalar(int(cfg.min_size),
+                                                        pa.int64())))),
+                batch_format="pyarrow"))
+        out = parts[0].union(*parts[1:])
+
+        # lineage: partition id from the url (stable across runs)
+        def lineage(batch: pa.Table) -> pa.Table:
+            pid = (hash64_str(batch["url"], seed=7)
+                   % np.uint64(num_partitions)).astype(np.int64)
+            return batch.append_column("partition_id",
+                                       pa.array(pid, pa.int64()))
+
+        return out.map_batches(lineage, batch_format="pyarrow")
 
     # ---- exact dedup (shuffle on content key) ------------------------------
     # size-aware physical plan for representative texts (VERDICT r1 #2):
@@ -207,6 +258,12 @@ def run_dedup(
     from ..stages.buckets import semi_filter_by_uid_refs, uid_of_urls
 
     n_docs = hashed.count()  # metadata read — hashed is materialized
+    if n_docs == 0:
+        # fully-empty corpus: short-circuit with the assignment schema
+        # (the union tail would otherwise lose it through empty blocks)
+        return ray.data.from_arrow(
+            _EMPTY_ASSIGN.append_column(
+                "partition_id", pa.array([], pa.int64())))
     texts_through_shuffle = n_docs > cfg.broadcast_max_reps
     keep = (("url", "warc_ts", "lang", "text") if texts_through_shuffle
             else ("url", "warc_ts", "lang"))
@@ -215,7 +272,7 @@ def run_dedup(
     if members_full.count() == 0:
         # empty / all-error corpus: only sentinel rows flow through
         assignments = ray.data.from_arrow(_EMPTY_ASSIGN)
-        return _finish(assignments, err, small, num_partitions)
+        return _finish(assignments)
 
     rep_cols = ["url", "text", "n_bytes"] + (
         ["text_sha256"] if cfg.sig_store_dir else [])
@@ -344,7 +401,8 @@ def run_dedup(
                           uid_bits=cfg.uid_bits)
     cand = candidate_edges_fused(
         buckets, cfg.lsh, cfg.simhash.hamming_threshold,
-        num_partitions=cfg.bucket_partitions).materialize()
+        num_partitions=cfg.bucket_partitions,
+        uid_bits=cfg.uid_bits).materialize()
     timer.tick("candidates")
 
     from ..stages.buckets import uid_np, uid_pa_type
@@ -547,9 +605,11 @@ def run_dedup(
     except Exception:
         _cpus = 32
     tail_blocks = int(max(2 * _cpus, n_docs // cfg.tail_rows_per_block))
-    final_members = (enriched.map_batches(finalize, batch_format="pyarrow")
-                     .repartition(tail_blocks)
-                     .materialize())
+    from ..stages.common import compact_materialized
+    final_members = compact_materialized(
+        enriched.map_batches(finalize, batch_format="pyarrow")
+        .repartition(tail_blocks)
+        .materialize())
     timer.tick("finalize")
 
     # ---- keeper resolution per cluster (shuffle on canonical uid) ----------
@@ -561,17 +621,19 @@ def run_dedup(
     # majority streams map-only from extract to sink.
     policy = cfg.keeper
 
-    dup_members = final_members.map_batches(
-        lambda t: t.filter(pc.not_equal(t["match_kind"], "unique")),
-        batch_format="pyarrow")
-    uniq_members = final_members.map_batches(
-        lambda t: t.filter(pc.equal(t["match_kind"], "unique")),
-        batch_format="pyarrow")
+    # the dup/uniq splits are folded INTO the consuming UDFs (pre_fn /
+    # in-function filter) rather than standing as separate fused map
+    # stages: a fused stage yielding zero rows makes Ray skip the rest
+    # of the chain and emit a schema-less empty block that then rides
+    # through every downstream operator (VERDICT r2 #9)
+    def _dup_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["match_kind"], "unique"))
 
     def resolve_unique(batch: pa.Table) -> pa.Table:
         # corpus-MAJORITY branch: fully vectorized (VERDICT r2 #3) —
         # cluster_id = md5(url)[:16] via the lane-parallel kernel, no
         # to_pylist / per-row Python anywhere
+        batch = batch.filter(pc.equal(batch["match_kind"], "unique"))
         n = batch.num_rows
         return pa.table({
             "url": batch["url"],
@@ -614,36 +676,10 @@ def run_dedup(
             "n_bytes": df["n_bytes"].astype("int64"),
         })
 
-    assignments = grouped_apply(dup_members, ["canonical"], resolve,
+    assignments = grouped_apply(final_members, ["canonical"], resolve,
                                 num_partitions=cfg.bucket_partitions,
-                                empty_result=_EMPTY_ASSIGN).union(
-        uniq_members.map_batches(resolve_unique, batch_format="pyarrow"))
+                                empty_result=_EMPTY_ASSIGN,
+                                pre_fn=_dup_filter).union(
+        final_members.map_batches(resolve_unique, batch_format="pyarrow"))
 
-    # ---- error rows + too-small rows pass through as self-clusters ---------
-    def selfcluster(kind: str):
-        def f(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            nb = (np.asarray(batch["n_bytes"], dtype=np.int64)
-                  if "n_bytes" in batch.column_names else np.zeros(n, np.int64))
-            return pa.table({
-                "url": batch["url"],
-                "cluster_id": md5_hex16(batch["url"]),
-                "keeper_url": batch["url"],
-                "is_keeper": pa.array(np.ones(n, bool), pa.bool_()),
-                "action": pa.array(np.full(n, "keep"), pa.string()),
-                "match_kind": pa.array(np.full(n, kind), pa.string()),
-                "n_bytes": pa.array(nb, pa.int64()),
-            })
-        return f
-
-    parts = [assignments, err.map_batches(selfcluster("error"), batch_format="pyarrow")]
-    if small is not None:
-        parts.append(small.map_batches(selfcluster("too_small"), batch_format="pyarrow"))
-    out = parts[0].union(*parts[1:])
-
-    # ---- lineage: partition id from the url (stable across runs) -----------
-    def lineage(batch: pa.Table) -> pa.Table:
-        pid = (hash64_str(batch["url"], seed=7) % np.uint64(num_partitions)).astype(np.int64)
-        return batch.append_column("partition_id", pa.array(pid, pa.int64()))
-
-    return out.map_batches(lineage, batch_format="pyarrow")
+    return _finish(assignments)

@@ -925,9 +925,13 @@ def candidate_edges_fused(
     anchor_bucket_cap: int = 4096,
     sim_group_cap: int = 512,
     num_partitions: int = 128,
+    uid_bits: int = 64,
 ) -> "ray.data.Dataset":
     """One hash shuffle on ``key``; per partition, vectorized per-kind
     emission.  Returns (u, v, kind) int64 candidate edges."""
+    _edge_empty = pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
+                            "v": pa.array([], uid_pa_type(uid_bits)),
+                            "kind": pa.array([], pa.int8())})
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         outs: list[pd.DataFrame] = []
@@ -1011,4 +1015,5 @@ def candidate_edges_fused(
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    return grouped_apply(buckets, ["key"], emit, num_partitions=num_partitions)
+    return grouped_apply(buckets, ["key"], emit, num_partitions=num_partitions,
+                         empty_result=_edge_empty)

@@ -112,14 +112,24 @@ def connected_components_distributed(
             acc ^= int(np.bitwise_xor.reduce(mix64(hu * np.uint64(3) + hv)))
         return (n, acc)
 
+    # pin empty-partition output schemas (a grouped_apply without
+    # empty_result lets empty shuffle ranges surface as schema-less
+    # blocks that ride every downstream operator — VERDICT r2 #9)
+    key_t = edges.schema().base_schema.field("u").type
+    edge_empty = pa.table({"u": pa.array([], key_t),
+                           "v": pa.array([], key_t)})
+
     cur = edges
     prev_sig = None
     for _ in range(max_iters):
         both = cur.map_batches(undirect, batch_format="pyarrow")
-        cur = grouped_apply(both, ["u"], large_star)
+        cur = grouped_apply(both, ["u"], large_star,
+                            empty_result=edge_empty)
         both = cur.map_batches(undirect, batch_format="pyarrow")
-        cur = grouped_apply(both, ["u"], small_star)
-        cur = grouped_apply(cur, ["u"], dedupe).materialize()
+        cur = grouped_apply(both, ["u"], small_star,
+                            empty_result=edge_empty)
+        cur = grouped_apply(cur, ["u"], dedupe,
+                            empty_result=edge_empty).materialize()
         sig = signature(cur)
         if sig == prev_sig:
             break
@@ -130,7 +140,10 @@ def connected_components_distributed(
         root = df.groupby("u", sort=False)["v"].min()
         return pd.DataFrame({"url": root.index, "root": root.values})
 
-    return grouped_apply(cur, ["u"], emit)
+    return grouped_apply(cur, ["u"], emit,
+                         empty_result=pa.table({
+                             "url": pa.array([], key_t),
+                             "root": pa.array([], key_t)}))
 
 
 def resolve_components(

@@ -97,6 +97,7 @@ def grouped_apply(
     packed: bool = True,
     empty_result: pa.Table | None = None,
     arrow_fn: bool = False,
+    pre_fn: Callable[[pa.Table], pa.Table] | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partition `ds` on `keys`, then run `partition_fn` once per
     partition over a pandas frame containing only complete key-groups.
@@ -129,8 +130,14 @@ def grouped_apply(
     hash_parts = _hash_partitions(num_partitions)
     if arrow_fn and not packed:
         raise ValueError("arrow_fn requires packed=True")
+    if pre_fn is not None and packed and empty_result is None:
+        # the all-filtered-batch sentinel row lands in the -1 group,
+        # whose unpack must return a schema'd empty table
+        raise ValueError("pre_fn requires empty_result in packed mode")
     if not packed:
         def add_part(batch: pa.Table) -> pa.Table:
+            if pre_fn is not None:
+                batch = pre_fn(batch)
             part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
             return batch.append_column("__part", pa.array(part, pa.int64()))
 
@@ -148,6 +155,25 @@ def grouped_apply(
         import pyarrow.ipc as ipc
         import io
 
+        # pre_fn runs INSIDE pack (not as a separate fused map stage):
+        # when a fused upstream stage yields a zero-row batch, Ray skips
+        # the remaining fns in the chain and the task's output block is
+        # rebuilt with NO schema — a schema-less empty block then rides
+        # untouched through every downstream operator (Ray never calls
+        # UDFs on empty blocks) and trips "different schema" warnings
+        # (VERDICT r2 #9).  Folding the filter here keeps every task
+        # output on the (part, blob) schema.
+        if pre_fn is not None:
+            batch = pre_fn(batch)
+            if batch.num_rows == 0:
+                # a SENTINEL row, not a zero-row table: the sort/shuffle
+                # operator rebuilds empty input blocks schema-less too,
+                # so an all-filtered batch must still ship one row
+                # (part -1 / empty blob — unpack_run skips empty blobs)
+                return pa.table({
+                    "__part": pa.array([-1], pa.int64()),
+                    "__blob": pa.array([b""], pa.large_binary()),
+                })
         part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
         order = np.argsort(part, kind="stable")
         sorted_tbl = batch.take(pa.array(order))
@@ -218,6 +244,27 @@ def grouped_apply(
         .groupby("__part", num_partitions=hash_parts)
         .map_groups(unpack_run, batch_format="pandas")
     )
+
+
+def compact_materialized(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Drop zero-row blocks from a MATERIALIZED dataset (metadata-only —
+    no block is fetched).  Ray skips the UDF on empty input blocks and
+    forwards them untouched, so a schema-less empty block born anywhere
+    upstream (e.g. a fully-empty branch feeding a union) survives every
+    downstream map stage and trips "RefBundle with a different schema"
+    warnings on each operator it crosses (VERDICT r2 #9).  Removing the
+    empty blocks at a materialization barrier kills the cascade; when
+    ALL blocks are empty the dataset is returned unchanged (it still
+    carries its schema for downstream unions)."""
+    refs, kept_any = [], False
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+                kept_any = True
+    if not kept_any:
+        return ds
+    return ray.data.from_arrow_refs(refs)
 
 
 def bounded_cache_put(cache: dict, key, val, max_entries: int = 8):

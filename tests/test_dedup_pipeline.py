@@ -311,3 +311,31 @@ def test_uid128_with_sig_store_same_assignments(corpus, tmp_path):
     for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
                 "match_kind"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_empty_and_all_error_corpus(ray_session):
+    # the empty-corpus early exit previously referenced an undefined
+    # _finish (NameError) — pin both degenerate paths end to end
+    import pyarrow as pa
+
+    from deduplicator_go_ray.sources.corpus import generate_pages
+
+    pages_tbl, _ = generate_pages(40, seed=7)
+    pages_tbl = pages_tbl.slice(0, 4)
+    empty = pages_tbl.slice(0, 0)
+    ds = run_dedup(rd.from_arrow(empty))
+    assert ds.count() == 0
+    # assert on the Dataset schema: Ray's to_pandas drops columns on a
+    # fully-empty dataset
+    names = set(ds.schema().names)
+    assert names >= {"url", "cluster_id", "keeper_url",
+                     "action", "match_kind", "partition_id"}
+
+    # all-error corpus: html=None rows fail extraction -> error band
+    bad = pages_tbl.set_column(
+        pages_tbl.schema.get_field_index("html"), "html",
+        pa.array([None] * 4, pa.binary()))
+    out2 = run_dedup(rd.from_arrow(bad)).to_pandas()
+    assert len(out2) == 4
+    assert (out2["match_kind"] == "error").all()
+    assert (out2["action"] == "keep").all()
