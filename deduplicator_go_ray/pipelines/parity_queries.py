@@ -557,3 +557,69 @@ def _near_gate_oracle_sql() -> str:
 
 
 register("import_near_gate", import_near_gate, _near_gate_oracle_sql())
+
+
+# --------------------------------------------------------------------------
+# signature version migration ≙ files/hash_upgrade.go:17-110
+# --------------------------------------------------------------------------
+
+def upgrade_signatures_q(sf_dir: str) -> pa.Table:
+    """Signature/kernel version migration ≙ the reference's
+    hash-algorithm upgrade (``files/hash_upgrade.go:17-110``): a store
+    written under config v1 is migrated to v2 — every stored row is
+    superseded and recomputed ("upgraded"); a second migration under v2
+    finds everything current ("resume": pure warm path, zero compute).
+    The store lives in a per-call temp dir; counts are pure functions
+    of the corpus, so the flow is DuckDB-oracle-checkable even though
+    the store itself is engine state."""
+    import os as _os
+    import tempfile
+
+    from ..config import MinHashConfig as _MH
+    from ..stages.exact import add_content_key
+    from ..state.sigstore import incremental_signatures, upgrade_signatures
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({
+            "url": pa.array(np.char.zfill(ids.astype(str), 12)),
+            "text": t["text"],
+        })
+
+    reps = add_content_key(
+        docs.map_batches(to_pages, batch_format="pyarrow")).materialize()
+
+    v1 = {"compute_anchors": True}
+    v2 = {"minhash": _MH(shingle_k=7), "compute_anchors": True}
+    with tempfile.TemporaryDirectory() as d:
+        store = _os.path.join(d, "sigstore")
+        incremental_signatures(reps, store, sig_kwargs=v1)
+        _, up = upgrade_signatures(reps, store, sig_kwargs=v2)
+        _, res = upgrade_signatures(reps, store, sig_kwargs=v2)
+    return pa.table({
+        "phase": pa.array(["resume", "upgrade"], pa.string()),
+        "n_upgraded": pa.array([res["upgraded"], up["upgraded"]],
+                               pa.int64()),
+        "n_unchanged": pa.array([res["unchanged"], up["unchanged"]],
+                                pa.int64()),
+        "n_failed": pa.array([res["failed"], up["failed"]], pa.int64()),
+    })
+
+
+register(
+    "upgrade_signatures",
+    upgrade_signatures_q,
+    """
+    WITH n AS (SELECT COUNT(DISTINCT text) AS c FROM documents)
+    SELECT 'upgrade' AS phase, CAST(c AS BIGINT) AS n_upgraded,
+           CAST(0 AS BIGINT) AS n_unchanged, CAST(0 AS BIGINT) AS n_failed
+    FROM n
+    UNION ALL
+    SELECT 'resume', CAST(0 AS BIGINT), CAST(c AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM n
+    ORDER BY phase
+    """,
+)

@@ -226,3 +226,58 @@ def test_compact_and_prune_store(ray_session, tmp_path, corpus):
     s2, n2 = incremental_signatures(_pages(corpus), store)
     assert n2 == len(corpus) - len(first)                   # pruned recompute
     assert _frame(s2).equals(_fresh(_pages(corpus)))
+
+
+def _fresh_cfg(pages: "ray.data.Dataset", sig_kwargs: dict) -> pd.DataFrame:
+    from deduplicator_go_ray.pipelines.dedup import _signature_cached
+
+    out = pages.map_batches(
+        _signature_cached, fn_kwargs=dict(sig_kwargs),
+        batch_format="pyarrow", batch_size=512)
+    return _frame(out)
+
+
+def test_sigstore_version_upgrade(ray_session, tmp_path, corpus):
+    # ≙ files/hash_upgrade.go:17-110: a signature-config bump must
+    # (a) never silently reuse old-config rows, (b) recompute exactly
+    # the stale rows, (c) drop superseded files, with accounting
+    from deduplicator_go_ray.config import MinHashConfig
+    from deduplicator_go_ray.state.sigstore import (_store_files,
+                                                    sig_config_version,
+                                                    upgrade_signatures)
+
+    store = str(tmp_path / "sigstore")
+    pages = _pages(corpus)
+
+    v1_kwargs = {"compute_anchors": True}
+    v2_kwargs = {"minhash": MinHashConfig(shingle_k=7),
+                 "compute_anchors": True}
+    assert sig_config_version(v1_kwargs) != sig_config_version(v2_kwargs)
+
+    s1, n1 = incremental_signatures(pages, store, sig_kwargs=v1_kwargs)
+    assert n1 == len(corpus)
+    n_files_v1 = len(_store_files(store))
+
+    # the membership key is (sha, version): a changed shingle_k with
+    # IDENTICAL num_perms/anchors (meta passes) must NOT reuse v1 rows
+    s_mix, n_mix = incremental_signatures(pages, store,
+                                          sig_kwargs=v2_kwargs)
+    assert n_mix == len(corpus)
+    assert _frame(s_mix).equals(_fresh_cfg(pages, v2_kwargs))
+
+    # explicit upgrade on a fresh v1-only store
+    store2 = str(tmp_path / "sigstore2")
+    incremental_signatures(pages, store2, sig_kwargs=v1_kwargs)
+    sigs, report = upgrade_signatures(pages, store2, sig_kwargs=v2_kwargs)
+    assert report["upgraded"] == len(corpus)
+    assert report["unchanged"] == 0
+    assert report["failed"] == 0
+    assert report["superseded_files"] >= 1
+    assert _frame(sigs).equals(_fresh_cfg(pages, v2_kwargs))
+
+    # resumed upgrade: everything already at v2 — pure warm path
+    sigs2, report2 = upgrade_signatures(pages, store2, sig_kwargs=v2_kwargs)
+    assert report2["upgraded"] == 0
+    assert report2["unchanged"] == len(corpus)
+    assert report2["superseded_files"] == 0
+    assert _frame(sigs2).equals(_fresh_cfg(pages, v2_kwargs))
