@@ -51,9 +51,13 @@ class MediaFeatureStage:
     """Actor-pool stage: (media_id, payload, ...) → (+features, +error).
 
     ``decoder``:
-      * ``"deterministic_fake"`` (default) — byte-derived fake features;
-      * ``"real"`` — raises NotImplementedError at __init__ (clearly
-        marked stub: wire an actual image/audio library here).
+      * ``"deterministic_fake"`` (default) — byte-derived fake features
+        (the oracle twin: a pure function of the payload BYTES, so the
+        SQL oracle can re-derive it);
+      * ``"real"`` — actual PNG pixel decode (pure-stdlib codec,
+        ``functions/image.py``) → 8×8 block-mean luma features.
+        Non-PNG / unsupported payloads surface as in-band DECODE_ERROR
+        rows (≙ files/hash.go:245-264), never exceptions.
 
     Use as::
 
@@ -67,13 +71,22 @@ class MediaFeatureStage:
     def __init__(self, decoder: str = "deterministic_fake",
                  out_dim: int = FEATURE_DIM) -> None:
         if decoder == "real":
-            raise NotImplementedError(
-                "real media decoding requires an image/audio library not "
-                "present in this environment; plug one in here (load the "
-                "codec/model ONCE per actor) and keep __call__ vectorized")
-        if decoder != "deterministic_fake":
+            # real pixel decode: grid dim must square to out_dim
+            grid = int(round(out_dim ** 0.5))
+            if grid * grid != out_dim:
+                raise ValueError(
+                    f"real decoder needs a square out_dim, got {out_dim}")
+            self._grid = grid
+        elif decoder != "deterministic_fake":
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.out_dim = out_dim
+
+    def _decode_one(self, p: bytes) -> np.ndarray:
+        if self.decoder == "real":
+            from ..functions.image import decode_png, luma_grid_features
+            return luma_grid_features(decode_png(p), grid=self._grid)
+        return _fake_decode(p, self.out_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -84,7 +97,7 @@ class MediaFeatureStage:
                 errors.append("DECODE_ERROR")  # in-band, ≙ files/hash.go:245-264
                 continue
             try:
-                feats[i] = _fake_decode(p, self.out_dim)
+                feats[i] = self._decode_one(p)
                 errors.append(None)
             except Exception:
                 errors.append("DECODE_ERROR")
@@ -141,6 +154,7 @@ def media_dedup_by_feature(
     method: str = "lsh",
     n_planes: int = 8,
     n_tables: int = 12,
+    decoder: str = "deterministic_fake",
 ) -> "ray.data.Dataset":
     """Near-dup media pairs by feature cosine.  Default plan (VERDICT r1
     #6/#9, now bucketed): decode on an actor pool, then random-hyperplane
@@ -160,6 +174,7 @@ def media_dedup_by_feature(
 
     feats = media.map_batches(
         MediaFeatureStage, concurrency=concurrency,
+        fn_constructor_kwargs={"decoder": decoder},
         batch_size=batch_size, batch_format="pyarrow",
     ).materialize()
 

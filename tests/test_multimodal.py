@@ -56,9 +56,111 @@ def test_feature_stage_deterministic(ray_session):
                           np.array(b["features"].tolist()))
 
 
-def test_real_decoder_is_marked_stub():
-    with pytest.raises(NotImplementedError):
-        MediaFeatureStage(decoder="real")
+def test_png_codec_roundtrip_and_filters():
+    # stdlib PNG codec: encode->decode identity for every supported
+    # layout, and the unfilter path (Sub/Up/Average/Paeth) reconstructs
+    # a manually-filtered stream exactly
+    import struct
+    import zlib
+
+    from deduplicator_go_ray.functions.image import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 9, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-filter an RGB image with one scanline per filter type
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8).astype(np.int32)
+    ch, stride = 3, 18
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1)
+        a = np.r_[np.zeros(ch, np.int32), cur[:-ch]]
+        c = np.r_[np.zeros(ch, np.int32), prev[:-ch]]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - a
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((a + prev) >> 1)
+        else:
+            pr = a + prev - c
+            pred = np.where(
+                (abs(pr - a) <= abs(pr - prev)) & (abs(pr - a) <= abs(pr - c)),
+                a, np.where(abs(pr - prev) <= abs(pr - c), prev, c))
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img.astype(np.uint8).reshape(5, 6, 3))
+
+
+def test_real_decoder_png_features(ray_session):
+    # the real decoder decodes actual PNG pixels; non-PNG payloads are
+    # in-band DECODE_ERROR rows, never exceptions
+    from deduplicator_go_ray.functions.image import encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array(["png0", "junk"], pa.string()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array([encode_png(img), b"not a png"], pa.binary()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(MediaFeatureStage, concurrency=1, batch_size=8,
+                        fn_constructor_kwargs={"decoder": "real"},
+                        batch_format="pyarrow")
+           .to_pandas().set_index("media_id"))
+    assert out.loc["junk", "error"] == "DECODE_ERROR"
+    assert out.loc["png0", "error"] is None
+    f = np.array(out.loc["png0", "features"])
+    assert f.shape == (FEATURE_DIM,)
+    assert np.abs(f).max() <= 1.0 and np.abs(f).sum() > 0
+
+
+def test_media_dedup_pairs_on_real_decoder(ray_session):
+    # media_dedup_by_feature green on BOTH decoders (VERDICT r2 #7):
+    # identical and near-identical PNGs pair up under real pixels,
+    # distinct patterns stay apart
+    from deduplicator_go_ray.functions.image import encode_png
+    from deduplicator_go_ray.stages.multimodal import media_dedup_by_feature
+
+    g = np.linspace(0, 255, 24, dtype=np.uint8)
+    grad = np.repeat(g[None, :], 24, 0)[:, :, None].repeat(3, 2)
+    near = grad.copy()
+    near[0, 0, 0] = min(254, int(near[0, 0, 0]) + 1)   # one-pixel nudge
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    rows = {
+        "a_dup1": encode_png(grad), "a_dup2": encode_png(grad),
+        "a_near": encode_png(near), "b_noise": encode_png(noise),
+    }
+    tbl = pa.table({
+        "media_id": pa.array(sorted(rows), pa.string()),
+        "kind": pa.array(["image"] * len(rows), pa.string()),
+        "payload": pa.array([rows[k] for k in sorted(rows)], pa.binary()),
+    })
+    for method in ("exact", "lsh"):
+        pairs = media_dedup_by_feature(
+            ray.data.from_arrow(tbl), threshold=0.98, method=method,
+            decoder="real").to_pandas()
+        got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+        assert ("a_dup1", "a_dup2") in got
+        assert ("a_dup1", "a_near") in got and ("a_dup2", "a_near") in got
+        assert not any("b_noise" in p for p in got)
 
 
 def test_frame_sampling(ray_session):
