@@ -161,6 +161,22 @@ class PipelineConfig:
     # edges below this count resolve with a driver-side DSU; above it
     # the distributed label-propagation path runs (SURVEY.md §7.4).
     driver_dsu_max_edges: int = 5_000_000
+    # mid tier between the driver DSU and the shuffle loop: one Ray
+    # task gathers the verified-edge block refs and runs the
+    # vectorized min-label kernel (stages/cluster.py:cc_label_arrays)
+    # — no driver collect, and ~2 orders of magnitude less fixed cost
+    # than the alternating-star exchanges.  200M edges ≈ 3.2 GiB of
+    # endpoint arrays in the worker — the distributed loop only
+    # engages past that.
+    onetask_cc_max_edges: int = 200_000_000
+    # flood-verify endpoint semi-filter gate: at or below this many
+    # candidate edges the partitioned verify first drops payload rows
+    # (sigs / texts) whose uid matches no edge endpoint — they would be
+    # dropped by the inner join anyway, after riding both packed
+    # exchanges.  Above it the endpoint array (16 B/edge, broadcast as
+    # block refs + one sorted plasma array) stops being worth holding
+    # per node and everything ships.
+    verify_semifilter_max_edges: int = 16_000_000
     # size-aware physical plans: below these thresholds the small side
     # of a verification/enrichment join is broadcast (object-store
     # block refs shipped once, per-worker cached index — no shuffle, no

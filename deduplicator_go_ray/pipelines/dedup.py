@@ -435,15 +435,18 @@ def run_dedup(
             # deadlocks Ray's streaming executor under
             # GRAFT_SHUFFLE=hash (reproduced in isolation), and the edge
             # sets are skinny uid pairs, so the barrier is cheap
+            semifilter = n_cand <= cfg.verify_semifilter_max_edges
             edge_sets = [verify_near_edges_partitioned(
                 near_cand, sigs, cfg.minhash,
                 num_partitions=cfg.bucket_partitions,
-                uid_bits=cfg.uid_bits).materialize()]
+                uid_bits=cfg.uid_bits,
+                endpoint_filter=semifilter).materialize()]
             if cfg.run_substring_pass:
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
                 edge_sets.append(verify_containment_edges_partitioned(
                     sub_cand, reps, num_partitions=cfg.bucket_partitions,
-                    uid_bits=cfg.uid_bits).materialize())
+                    uid_bits=cfg.uid_bits,
+                    endpoint_filter=semifilter).materialize())
         else:
             # direct-refs sub-plan: with 64-bit uids and a rep-signature
             # matrix under verify_direct_max_bytes, score against the
@@ -477,7 +480,7 @@ def run_dedup(
     # of data size, the dominant term of the N-vs-4N efficiency gap.
     n_edges = all_tagged.count()  # metadata — all_tagged is materialized
     timer.note("n_edges", n_edges)
-    mapping: dict[int, int] | None = None
+    mapping = None      # (nodes_sorted, roots) numpy pair — driver tier
     rep_clusters = None
     if n_edges <= cfg.driver_dsu_max_edges:
         us, vs, ks = [], [], []
@@ -493,13 +496,15 @@ def run_dedup(
             sub_mask = k_arr == KIND_ANCHOR
             sub_uid_arr = np.unique(np.concatenate(
                 [u_arr[sub_mask], v_arr[sub_mask]]))
-            from ..stages.cluster import connected_components_driver
-            mapping = connected_components_driver(
-                list(zip(u_arr.tolist(), v_arr.tolist())))
+            # vectorized min-label kernel — identical mapping to the
+            # reference dict DSU (root = component min,
+            # property-tested), no Python call per edge
+            from ..stages.cluster import cc_label_arrays
+            mapping = cc_label_arrays(u_arr, v_arr)
         else:
             sub_uid_arr = np.empty(0, np.int64)
-            mapping = {}
-        n_comp = len(mapping)
+            mapping = (np.empty(0, np.int64), np.empty(0, np.int64))
+        n_comp = mapping[0].size
         # bounded by the driver-DSU gate; still shipped by REF so the
         # finalize closure stays skinny
         sub_ref = ray.put(sub_uid_arr)
@@ -513,9 +518,22 @@ def run_dedup(
         edge_refs = tuple(block_refs_of(all_tagged))
         sub_ref = ray.remote(num_cpus=1)(_sub_uids_task).remote(
             edge_refs, cfg.uid_bits)
-        from ..stages.cluster import connected_components_distributed
-        rep_clusters = connected_components_distributed(
-            all_tagged.select_columns(["u", "v"])).materialize()
+        if n_edges <= cfg.onetask_cc_max_edges:
+            # mid tier: the same vectorized kernel in ONE Ray task over
+            # the edge block refs — nothing on the driver, none of the
+            # shuffle loop's per-round fixed cost
+            from ..stages.cluster import _cc_onetask
+            out = ray.get(ray.remote(num_cpus=1)(_cc_onetask).remote(
+                edge_refs, "u", "v", uid_pa_type(cfg.uid_bits)))
+            if out is None:
+                out = pa.table({
+                    "url": pa.array([], uid_pa_type(cfg.uid_bits)),
+                    "root": pa.array([], uid_pa_type(cfg.uid_bits))})
+            rep_clusters = ray.data.from_arrow(out).materialize()
+        else:
+            from ..stages.cluster import connected_components_distributed
+            rep_clusters = connected_components_distributed(
+                all_tagged.select_columns(["u", "v"])).materialize()
         n_comp = rep_clusters.count()
 
     def add_rep_uid(t: pa.Table) -> pa.Table:
@@ -536,22 +554,26 @@ def run_dedup(
         # the component map is tiny relative to the corpus (near-dup
         # members only) — broadcast it instead of a shuffle join
         if mapping is None:
-            mapping = {}
-            for b in rep_clusters.iter_batches(batch_size=65536,
+            nodes_l, roots_l = [], []
+            for b in rep_clusters.iter_batches(batch_size=262144,
                                                batch_format="pyarrow"):
-                mapping.update(zip(b["url"].to_pylist(),
-                                   b["root"].to_pylist()))
+                nodes_l.append(uid_np(b["url"], cfg.uid_bits))
+                roots_l.append(uid_np(b["root"], cfg.uid_bits))
+            mapping = (np.concatenate(nodes_l), np.concatenate(roots_l))
         enriched = broadcast_lookup(
             members_u, "rep_uid", mapping,
             "near_root", out_type=uid_pa_type(cfg.uid_bits))
     else:
         if rep_clusters is None:
-            urls_sorted = sorted(mapping)
+            nodes, roots = mapping      # sorted by construction
+            if nodes.dtype == np.int64:
+                cols = (pa.array(nodes, uid_pa_type(cfg.uid_bits)),
+                        pa.array(roots, uid_pa_type(cfg.uid_bits)))
+            else:
+                cols = (pa.array(nodes.tolist(), uid_pa_type(cfg.uid_bits)),
+                        pa.array(roots.tolist(), uid_pa_type(cfg.uid_bits)))
             rep_clusters = ray.data.from_arrow(pa.table({
-                "url": pa.array(urls_sorted, uid_pa_type(cfg.uid_bits)),
-                "root": pa.array([mapping[u] for u in urls_sorted],
-                                 uid_pa_type(cfg.uid_bits)),
-            }))
+                "url": cols[0], "root": cols[1]}))
         enriched = left_attach(
             members_u,
             rep_clusters,

@@ -37,7 +37,7 @@ import ray.data
 
 from ..config import LSHConfig, MinHashConfig, SimHashConfig
 from ..functions.hashing import combine64, hash64_str, mix64
-from .common import grouped_apply
+from .common import _hash_partitions, grouped_apply
 
 KIND_BAND = 0
 KIND_SIMHASH = 1
@@ -609,10 +609,16 @@ def semi_filter_by_uid_refs(
         return hit
 
     def f(batch: pa.Table) -> pa.Table:
+        from .common import sorted_probe
         wanted = sorted_uids((refs, "uid_sorted"))
         bits = 64 if wanted.dtype == np.int64 else 128
         uid = uid_of_urls(batch["url"], bits)
-        keep = np.isin(uid, wanted)
+        if wanted.dtype == np.int64:
+            # the cached array is pre-sorted: searchsorted membership,
+            # not np.isin (which re-sorts the big side per batch)
+            _, keep = sorted_probe(wanted, uid)
+        else:
+            keep = np.isin(uid, wanted)
         return batch.select(columns).filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -664,7 +670,7 @@ def semi_filter_by_uid_partitioned(
         out = df[(df["__m"] == 0) & df["uid"].isin(marked)]
         return out.drop(columns="__m")
 
-    return grouped_apply(left.union(right), ["uid"], keep_marked,
+    return grouped_apply([left, right], ["uid"], keep_marked,
                          num_partitions=num_partitions)
 
 
@@ -741,12 +747,19 @@ def _attach_payload_partitioned(
             pos, hit = sorted_probe(pk_u, k[edge_rows])
             keep_e = edge_rows[hit]                 # inner join
             take_p = prow[pos[hit]]
+            # combine before the random-index takes: `full` arrives as
+            # one chunk per packed blob (hundreds), and chunked take
+            # over the 1 KiB payload column is the pathological case
+            base = base.combine_chunks()
+            pay = full[out_col]
+            if isinstance(pay, pa.ChunkedArray):
+                pay = pay.combine_chunks()
             out = base.take(pa.array(keep_e))
-            return out.append_column(out_col, full[out_col].take(
-                pa.array(take_p)))
+            return out.append_column(out_col, pay.take(pa.array(take_p)))
 
-        return grouped_apply(e.union(p), ["__k"], merge_arrow,
-                             num_partitions=num_partitions, arrow_fn=True)
+        return grouped_apply([e, p], ["__k"], merge_arrow,
+                             num_partitions=num_partitions, arrow_fn=True,
+                             out_blocks=_hash_partitions(num_partitions))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         is_p = df["__m"] == 1
@@ -764,8 +777,9 @@ def _attach_payload_partitioned(
         pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
         return eg.merge(pay, on="__k", how="inner").drop(columns="__k")
 
-    return grouped_apply(e.union(p), ["__k"], merge,
-                         num_partitions=num_partitions)
+    return grouped_apply([e, p], ["__k"], merge,
+                         num_partitions=num_partitions,
+                         out_blocks=_hash_partitions(num_partitions))
 
 
 def _sig_blob_table(sigs: "ray.data.Dataset", P: int,
@@ -787,20 +801,50 @@ def _sig_blob_table(sigs: "ray.data.Dataset", P: int,
         f, batch_format="pyarrow")
 
 
+def _endpoint_uid_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Materialized single-column ``uid`` table of every edge endpoint
+    — the semi-filter key set for the partitioned verify plans."""
+
+    def f(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
+        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
+        return pa.table({"uid": pa.concat_arrays([u, v])})
+
+    return (edges.select_columns(["u", "v"])
+            .map_batches(f, batch_format="pyarrow").materialize())
+
+
 def verify_near_edges_partitioned(
     edges: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
     cfg: MinHashConfig,
     num_partitions: int = 128,
     uid_bits: int = 64,
+    endpoint_filter: bool = True,
 ) -> "ray.data.Dataset":
     """Flood-verify fallback (≥ ``smallset_max_edges`` candidates): the
     broadcast signature index would exceed worker memory, so signatures
     are attached to edges through two hash-partitioned joins (on u, then
     v) and scored vectorized per batch.  Semantically identical to
-    :func:`verify_near_edges` (equality-tested)."""
+    :func:`verify_near_edges` (equality-tested).
+
+    ``endpoint_filter``: semi-filter the signature table to edge
+    endpoints before the exchange — payload rows that match no edge
+    would be dropped by the inner join anyway, AFTER shipping through
+    both packed exchanges (the whole sig table twice).  The caller
+    disables it past ``verify_semifilter_max_edges``, where the
+    endpoint array itself stops being broadcastable."""
     P = cfg.num_perms
+    if endpoint_filter:
+        sigs = semi_filter_by_uid_refs(
+            sigs, _endpoint_uid_table(edges), ["url", "minhash"])
     blobs = _sig_blob_table(sigs, P, uid_bits)
+    if endpoint_filter:
+        # the u- and v-attach both consume `blobs`; left lazy, the
+        # filter + blob build would execute twice (two full scans of
+        # the signature table).  Bounded by the endpoint count here;
+        # the unfiltered (true-flood) plan stays streaming.
+        blobs = blobs.materialize()
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
     sig_t = pa.binary(P * 8)
@@ -857,10 +901,20 @@ def verify_containment_edges_partitioned(
     texts: "ray.data.Dataset",
     num_partitions: int = 128,
     uid_bits: int = 64,
+    endpoint_filter: bool = True,
 ) -> "ray.data.Dataset":
     """Flood fallback for substring verification: texts attach to the
     candidate pairs through two partitioned joins (texts ship through
-    the packed shuffle once) instead of a broadcast text index."""
+    the packed shuffle once) instead of a broadcast text index.
+
+    ``endpoint_filter`` as in :func:`verify_near_edges_partitioned` —
+    decisive here, because anchor pairs are typically a tiny fraction
+    of the corpus while the text table is its biggest column (measured
+    500k docs / 5k anchor pairs: the unfiltered exchange ships 459k
+    texts to verify 5k pairs, 60 s of a 113 s flood verify)."""
+    if endpoint_filter:
+        texts = semi_filter_by_uid_refs(
+            texts, _endpoint_uid_table(pairs), ["url", "text"])
 
     def to_payload(t: pa.Table) -> pa.Table:
         return pa.table({"uid": uid_arrow(uid_of_urls(t["url"], uid_bits)),
@@ -868,6 +922,9 @@ def verify_containment_edges_partitioned(
 
     blobs = texts.select_columns(["url", "text"]).map_batches(
         to_payload, batch_format="pyarrow")
+    if endpoint_filter:
+        # both attach passes consume `blobs` — see the near twin
+        blobs = blobs.materialize()
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
     both = _attach_payload_partitioned(
@@ -1016,4 +1073,5 @@ def candidate_edges_fused(
         return pd.concat(outs, ignore_index=True)
 
     return grouped_apply(buckets, ["key"], emit, num_partitions=num_partitions,
-                         empty_result=_edge_empty)
+                         empty_result=_edge_empty,
+                         out_blocks=_hash_partitions(num_partitions))

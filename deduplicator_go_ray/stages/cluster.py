@@ -47,6 +47,72 @@ def connected_components_driver(edges: list[tuple[str, str]]) -> dict[str, str]:
     return {x: _dsu_find(parent, x) for x in parent}
 
 
+def cc_label_arrays(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over edge endpoint arrays:
+    returns ``(nodes_sorted, root_per_node)`` with root = component
+    minimum — the exact mapping :func:`connected_components_driver`
+    produces (property-tested), with no Python call per edge.
+
+    Min-label propagation with pointer jumping (Shiloach-Vishkin
+    style): labels are INDICES into the sorted unique node array, so
+    the kernel is dtype-agnostic — int64 uids and object-bytes /
+    string urls all reduce to integer index arithmetic after
+    ``np.unique`` (whose sort order matches Python ``min``).  Each
+    round is O(E) scatter-min + O(N·log) pointer jumps; rounds are
+    O(log N) (dup graphs: 2-4)."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:u.size].astype(np.int64), inv[u.size:].astype(np.int64)
+    lbl = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        lu, lv = lbl[ui], lbl[vi]
+        m = np.minimum(lu, lv)
+        new = lbl.copy()
+        np.minimum.at(new, ui, m)
+        np.minimum.at(new, vi, m)
+        # hook the labels themselves so stars collapse across rounds
+        np.minimum.at(new, lu, m)
+        np.minimum.at(new, lv, m)
+        changed = not np.array_equal(new, lbl)
+        lbl = new
+        while True:                      # pointer jumping to closure
+            nxt = lbl[lbl]
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+        if not changed:
+            break
+    return nodes, nodes[lbl]
+
+
+def _cc_onetask(refs: tuple, u_col: str = "u", v_col: str = "v",
+                key_type: "pa.DataType | None" = None):
+    """Gather edge blocks and run :func:`cc_label_arrays` in ONE Ray
+    task — the mid tier of :func:`resolve_components`: above the
+    driver-pull budget but below genuinely-distributed scale, the edge
+    set (orders of magnitude smaller than the corpus) fits one
+    worker's heap, and a single vectorized task beats ~10 alternating
+    label-propagation shuffles by 2 orders of magnitude of fixed cost.
+    Returns an Arrow (url, root) table living in the object store."""
+    import ray as _ray
+
+    tables = [t for t in _ray.get(list(refs)) if len(t)]
+    if not tables:
+        return None
+    def _np_of(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_integer(col.type):
+            return np.asarray(col, dtype=np.int64)
+        return np.array(col.to_pylist(), dtype=object)
+    u = np.concatenate([_np_of(t[u_col]) for t in tables])
+    v = np.concatenate([_np_of(t[v_col]) for t in tables])
+    nodes, roots = cc_label_arrays(u, v)
+    if nodes.dtype == np.int64:
+        return pa.table({"url": pa.array(nodes, key_type or pa.int64()),
+                         "root": pa.array(roots, key_type or pa.int64())})
+    return pa.table({"url": pa.array(nodes.tolist(), key_type),
+                     "root": pa.array(roots.tolist(), key_type)})
+
+
 def connected_components_distributed(
     edges: "ray.data.Dataset", max_iters: int = 50
 ) -> "ray.data.Dataset":
@@ -69,6 +135,10 @@ def connected_components_distributed(
         })
 
     def large_star(df: pd.DataFrame) -> pd.DataFrame:
+        # entry dedup is GLOBAL for (u, v): the exchange keys on u, so
+        # every copy of a pair co-locates here — no separate dedupe
+        # shuffle needed (it was 1/3 of the per-iteration exchanges)
+        df = df.drop_duplicates(["u", "v"])
         g = df.groupby("u", sort=False)["v"]
         m = np.minimum(g.transform("min"), df["u"])      # per-u component min
         bigger = df["v"] > df["u"]
@@ -82,6 +152,7 @@ def connected_components_distributed(
         return out.drop_duplicates()
 
     def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["u", "v"])
         keep = df["v"] <= df["u"]
         sub = df[keep]
         if not len(sub):
@@ -93,23 +164,34 @@ def connected_components_distributed(
         out = pd.DataFrame({"u": rows_u, "v": rows_m})
         return out[out["u"] != out["v"]].drop_duplicates()
 
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["u", "v"])
+    def _sig_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "x": pa.array([0], pa.int64())})
+        u, v = b["u"], b["v"]
+        if pa.types.is_integer(u.type):
+            hu = mix64(np.asarray(u, np.int64).view(np.uint64))
+            hv = mix64(np.asarray(v, np.int64).view(np.uint64))
+        else:
+            hu = hash64_str(u)
+            hv = hash64_str(v)
+        x = int(np.bitwise_xor.reduce(mix64(hu * np.uint64(3) + hv)))
+        if x >= 1 << 63:
+            x -= 1 << 64
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "x": pa.array([x], pa.int64())})
 
     def signature(ds: "ray.data.Dataset") -> tuple:
-        n = ds.count()
-        if n == 0:
-            return (0, 0)
+        """(edge count, order-insensitive xor hash) — computed as
+        per-block partials in the cluster; only two int64s per block
+        reach the driver (the r2 version streamed the FULL edge set to
+        the driver per iteration — a flood-scale killer)."""
+        parts = ds.map_batches(_sig_partial,
+                               batch_format="pyarrow").to_pandas()
+        n = int(parts["n"].sum())
         acc = 0
-        for b in ds.iter_batches(batch_size=262144, batch_format="pyarrow"):
-            u, v = b["u"], b["v"]
-            if pa.types.is_integer(u.type):
-                hu = mix64(np.asarray(u, np.int64).view(np.uint64))
-                hv = mix64(np.asarray(v, np.int64).view(np.uint64))
-            else:
-                hu = hash64_str(u)
-                hv = hash64_str(v)
-            acc ^= int(np.bitwise_xor.reduce(mix64(hu * np.uint64(3) + hv)))
+        for x in parts["x"].to_numpy():
+            acc ^= int(x) + (1 << 64 if x < 0 else 0)
         return (n, acc)
 
     # pin empty-partition output schemas (a grouped_apply without
@@ -119,18 +201,37 @@ def connected_components_distributed(
     edge_empty = pa.table({"u": pa.array([], key_t),
                            "v": pa.array([], key_t)})
 
+    import os
+    import time
+    trace = os.environ.get("GRAFT_PHASE_TIMING") == "1"
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        cpus = 32
+    blocks = max(8, 2 * cpus)
+
+    # signature-vs-previous convergence sees the POSSIBLY-duplicated
+    # small_star output (cross-partition duplicate pairs exist only
+    # pre-convergence; the fixed-point star emits each edge exactly
+    # once, so termination is still detected one round after
+    # stabilization) — the r2 version paid a third exchange per round
+    # for a globally-deduped multiset whose only consumer was this
+    # signature.
     cur = edges
     prev_sig = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        t0 = time.time()
         both = cur.map_batches(undirect, batch_format="pyarrow")
         cur = grouped_apply(both, ["u"], large_star,
-                            empty_result=edge_empty)
+                            empty_result=edge_empty, out_blocks=blocks)
         both = cur.map_batches(undirect, batch_format="pyarrow")
         cur = grouped_apply(both, ["u"], small_star,
-                            empty_result=edge_empty)
-        cur = grouped_apply(cur, ["u"], dedupe,
-                            empty_result=edge_empty).materialize()
+                            empty_result=edge_empty,
+                            out_blocks=blocks).materialize()
         sig = signature(cur)
+        if trace:
+            print(f"[cc] iter {it}: {time.time() - t0:.2f}s "
+                  f"edges={sig[0]}", flush=True)
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -143,17 +244,31 @@ def connected_components_distributed(
     return grouped_apply(cur, ["u"], emit,
                          empty_result=pa.table({
                              "url": pa.array([], key_t),
-                             "root": pa.array([], key_t)}))
+                             "root": pa.array([], key_t)}),
+                         out_blocks=blocks)
 
 
 def resolve_components(
     edges_ds: "ray.data.Dataset", max_driver_edges: int = 5_000_000,
     key_type: "pa.DataType | None" = None,
+    max_onetask_edges: int = 200_000_000,
 ) -> "ray.data.Dataset":
-    """Pick the driver or distributed path by edge count; both return a
-    Dataset (url, root) with identical contents (tested).  Node labels
-    may be strings (urls) or int64 uids — pass ``key_type`` to pin the
-    empty-result schema."""
+    """Three-tier component resolution by edge count; every tier
+    returns a Dataset (url, root) with identical contents (tested —
+    root = component minimum on each path):
+
+    * ≤ ``max_driver_edges``: edge batches stream to the driver as
+      numpy arrays and :func:`cc_label_arrays` resolves vectorized (no
+      per-row Python — the r2 dict DSU spent seconds per 100k edges).
+    * ≤ ``max_onetask_edges``: ONE Ray task gathers the materialized
+      edge block refs and runs the same kernel — no driver collect; at
+      16 B/edge the default cap is a ~3 GiB single-worker gather,
+      orders of magnitude cheaper than the shuffle loop's fixed cost.
+    * above: alternating large-star/small-star label propagation —
+      the only tier whose memory never exceeds a partition.
+
+    Node labels may be strings (urls) or int64 uids — pass
+    ``key_type`` to pin the empty-result schema."""
     key_type = key_type or pa.string()
     n = edges_ds.count()
     if n == 0:
@@ -161,13 +276,33 @@ def resolve_components(
             pa.table({"url": pa.array([], key_type), "root": pa.array([], key_type)})
         )
     if n <= max_driver_edges:
-        pairs = []
-        for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            pairs.extend(zip(batch["u"].to_pylist(), batch["v"].to_pylist()))
-        mapping = connected_components_driver(pairs)
-        urls = sorted(mapping)
-        return ray.data.from_arrow(
-            pa.table({"url": pa.array(urls, key_type),
-                      "root": pa.array([mapping[u] for u in urls], key_type)})
-        )
+        us, vs = [], []
+        for batch in edges_ds.iter_batches(batch_size=262144,
+                                           batch_format="pyarrow"):
+            for dst, col in ((us, batch["u"]), (vs, batch["v"])):
+                arr = (col.combine_chunks()
+                       if isinstance(col, pa.ChunkedArray) else col)
+                if pa.types.is_integer(arr.type):
+                    dst.append(np.asarray(arr, dtype=np.int64))
+                else:
+                    dst.append(np.array(arr.to_pylist(), dtype=object))
+        nodes, roots = cc_label_arrays(np.concatenate(us), np.concatenate(vs))
+        if nodes.dtype == np.int64:
+            tbl = pa.table({"url": pa.array(nodes, key_type),
+                            "root": pa.array(roots, key_type)})
+        else:
+            tbl = pa.table({"url": pa.array(nodes.tolist(), key_type),
+                            "root": pa.array(roots.tolist(), key_type)})
+        return ray.data.from_arrow(tbl)
+    if n <= max_onetask_edges:
+        from .lsh import block_refs_of
+
+        refs = tuple(block_refs_of(edges_ds.materialize()))
+        out = ray.get(ray.remote(num_cpus=1)(_cc_onetask).remote(
+            refs, "u", "v", key_type))
+        if out is None:
+            return ray.data.from_arrow(pa.table(
+                {"url": pa.array([], key_type),
+                 "root": pa.array([], key_type)}))
+        return ray.data.from_arrow(out)
     return connected_components_distributed(edges_ds)

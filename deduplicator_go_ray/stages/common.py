@@ -90,7 +90,7 @@ def _hash_partitions(num_partitions: int) -> int:
 
 
 def grouped_apply(
-    ds: "ray.data.Dataset",
+    ds: "ray.data.Dataset | list",
     keys: list[str],
     partition_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 64,
@@ -98,6 +98,7 @@ def grouped_apply(
     empty_result: pa.Table | None = None,
     arrow_fn: bool = False,
     pre_fn: Callable[[pa.Table], pa.Table] | None = None,
+    out_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partition `ds` on `keys`, then run `partition_fn` once per
     partition over a pandas frame containing only complete key-groups.
@@ -124,10 +125,30 @@ def grouped_apply(
     concatenated partition as a **pyarrow Table** and must return one —
     skipping the ``to_pandas`` round-trip, which materializes a Python
     object per cell and dominates wall time when rows carry wide binary
-    payloads (the flood-verify signature blobs)."""
+    payloads (the flood-verify signature blobs).
+
+    ``ds`` may be a LIST of datasets (a union exchange — e.g. edges +
+    payload sides of a partitioned join): each is packed separately and
+    the union happens on the uniform ``(__part, __blob)`` schema, so
+    the executor never bundles mixed-schema blocks (the "RefBundle with
+    a different schema" warning cascade).  Packed mode only.
+
+    ``out_blocks``: coalesce the result to ~this many blocks
+    (``repartition`` without shuffle — order-preserving, cheap).  The
+    sort-based exchange emits ~one output block per INPUT block, so a
+    grouped stage fed by a many-block union hands its fragmentation to
+    every consumer — a downstream exchange over 800 near-empty blocks
+    spends 100+ s of driver-side scheduling on zero data (measured:
+    the flood-verify edge union at 500k docs).  Set it on stages whose
+    output is known to be small (edge sets, per-group reductions);
+    leave None for corpus-sized outputs where the extra copy pass
+    would cost more than the scheduling it saves."""
 
     _enable_hash_shuffle()
     hash_parts = _hash_partitions(num_partitions)
+    multi = isinstance(ds, (list, tuple))
+    if multi and not packed:
+        raise ValueError("a dataset list requires packed=True")
     if arrow_fn and not packed:
         raise ValueError("arrow_fn requires packed=True")
     if pre_fn is not None and packed and empty_result is None:
@@ -145,11 +166,12 @@ def grouped_apply(
             df = df.drop(columns="__part")
             return partition_fn(df)
 
-        return (
+        out = (
             ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("__part", num_partitions=hash_parts)
             .map_groups(run, batch_format="pandas")
         )
+        return out.repartition(out_blocks) if out_blocks else out
 
     def pack(batch: pa.Table) -> pa.Table:
         import pyarrow.ipc as ipc
@@ -176,7 +198,11 @@ def grouped_apply(
                 })
         part = (_key_hash(batch, keys) % np.uint64(num_partitions)).astype(np.int64)
         order = np.argsort(part, kind="stable")
-        sorted_tbl = batch.take(pa.array(order))
+        # combine first: take() with a shuffled index over a MANY-chunk
+        # table degrades ~1000× on wide binary columns (per-element
+        # chunk binary-search — the CLAUDE.md chunked-take pathology);
+        # upstream unions routinely deliver dozens of chunks per batch
+        sorted_tbl = batch.combine_chunks().take(pa.array(order))
         sp = part[order]
         starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
         sizes = np.diff(np.r_[starts, sp.size])
@@ -231,7 +257,11 @@ def grouped_apply(
     # (`PandasBlockSchema(names=[])`, VERDICT r1 §wrong #7).
     import os
 
-    packed_ds = ds.map_batches(pack, batch_format="pyarrow")
+    if multi:
+        parts = [d.map_batches(pack, batch_format="pyarrow") for d in ds]
+        packed_ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    else:
+        packed_ds = ds.map_batches(pack, batch_format="pyarrow")
     if (empty_result is not None
             or os.environ.get("GRAFT_SHUFFLE", "sort") == "hash"):
         sentinel = ray.data.from_arrow(pa.table({
@@ -239,11 +269,12 @@ def grouped_apply(
             "__blob": pa.array([b""], pa.large_binary()),
         }))
         packed_ds = packed_ds.union(sentinel)
-    return (
+    out = (
         packed_ds
         .groupby("__part", num_partitions=hash_parts)
         .map_groups(unpack_run, batch_format="pandas")
     )
+    return out.repartition(out_blocks) if out_blocks else out
 
 
 def compact_materialized(ds: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -113,7 +113,7 @@ def _union_groupby_join(left, right, key, how):
                  for b in out[c]], dtype="Int64")
         return out
 
-    return grouped_apply(l_tag.union(r_tag), [key], merge)
+    return grouped_apply([l_tag, r_tag], [key], merge)
 
 
 def left_attach(
@@ -234,16 +234,36 @@ def broadcast_lookup(
     Integer-keyed integer-valued maps ship as two sorted numpy arrays
     and probe via np.searchsorted — no per-row Python, no dict
     deserialization per worker; everything else falls back to the
-    plain dict plan."""
+    plain dict plan.  ``mapping`` may also be a pre-built
+    ``(keys_int64, values_int64)`` numpy pair (keys need not be
+    sorted) — the vectorized producer path (cc_label_arrays) then
+    never round-trips through a Python dict."""
     import numpy as np
 
-    int_fast = (default is None and len(mapping)
-                and all(isinstance(k, (int, np.integer)) for k in mapping)
-                and all(isinstance(v, (int, np.integer))
-                        for v in mapping.values()))
+    arr_pair = (isinstance(mapping, tuple) and len(mapping) == 2
+                and isinstance(mapping[0], np.ndarray))
+    if arr_pair and mapping[0].dtype != np.int64:
+        # object-dtype keys (128-bit uid bytes): dict fallback below
+        mapping = dict(zip(mapping[0].tolist(), mapping[1].tolist()))
+        arr_pair = False
+    int_fast = arr_pair or (
+        default is None and len(mapping)
+        and all(isinstance(k, (int, np.integer)) for k in mapping)
+        and all(isinstance(v, (int, np.integer))
+                for v in mapping.values()))
     if int_fast:
-        ks = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-        vs = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        if arr_pair:
+            ks, vs = mapping
+        else:
+            ks = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+            vs = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        if ks.size == 0:
+            # searchsorted probe needs ≥1 key; an empty map is all-miss
+            def f_empty(batch: pa.Table) -> pa.Table:
+                typ = out_type if out_type is not None else pa.int64()
+                return batch.append_column(
+                    out_col, pa.array([default] * len(batch), typ))
+            return ds.map_batches(f_empty, batch_format="pyarrow")
         order = np.argsort(ks, kind="stable")
         ref = ray.put((ks[order], vs[order]))
 

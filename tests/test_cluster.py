@@ -12,7 +12,7 @@ import pytest
 import ray.data
 
 from deduplicator_go_ray.stages.cluster import (
-    connected_components_driver, resolve_components)
+    cc_label_arrays, connected_components_driver, resolve_components)
 
 
 def _edge_table(pairs, typ=pa.string()):
@@ -39,28 +39,60 @@ def random_graph():
     return pairs
 
 
-def test_driver_and_distributed_agree(random_graph, ray_session):
+@pytest.mark.parametrize("force", ["onetask", "distributed"])
+def test_driver_and_scaled_tiers_agree(random_graph, ray_session, force):
     expected = connected_components_driver(list(random_graph))
 
     ds = ray.data.from_arrow(_edge_table(random_graph)).repartition(7)
-    # max_driver_edges=0 forces the label-propagation path
-    out = resolve_components(ds, max_driver_edges=0).to_pandas()
+    # max_driver_edges=0 forces past the driver tier; max_onetask_edges
+    # additionally 0 forces the label-propagation loop
+    out = resolve_components(
+        ds, max_driver_edges=0,
+        max_onetask_edges=0 if force == "distributed" else 10**9,
+    ).to_pandas()
     got = dict(zip(out["url"], out["root"]))
 
-    # distributed output may omit self-rooted isolated nodes that the
+    # scaled output may omit self-rooted isolated nodes that the
     # DSU lists explicitly; compare on the union with default=self
     for node, root in expected.items():
         assert got.get(node, node) == root, node
 
 
-def test_distributed_int_keys(ray_session):
+@pytest.mark.parametrize("force", ["onetask", "distributed"])
+def test_scaled_tiers_int_keys(ray_session, force):
     pairs = [(1, 2), (2, 3), (10, 11), (30, 10)]
     ds = ray.data.from_arrow(_edge_table(pairs, pa.int64()))
-    out = resolve_components(ds, max_driver_edges=0,
-                             key_type=pa.int64()).to_pandas()
+    out = resolve_components(
+        ds, max_driver_edges=0, key_type=pa.int64(),
+        max_onetask_edges=0 if force == "distributed" else 10**9,
+    ).to_pandas()
     got = dict(zip(out["url"], out["root"]))
     assert got.get(3, 3) == 1 and got.get(2, 2) == 1
     assert got.get(30, 30) == 10 and got.get(11, 11) == 10
+
+
+def test_cc_label_arrays_matches_dict_dsu(random_graph):
+    """The vectorized min-label kernel (production hot path) must
+    reproduce the reference dict DSU exactly — every node present,
+    root = component minimum."""
+    expected = connected_components_driver(list(random_graph))
+    u = np.array([p[0] for p in random_graph], dtype=object)
+    v = np.array([p[1] for p in random_graph], dtype=object)
+    nodes, roots = cc_label_arrays(u, v)
+    assert dict(zip(nodes.tolist(), roots.tolist())) == expected
+
+
+def test_cc_label_arrays_random_int_graphs():
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        e = int(rng.integers(1, 400))
+        u = rng.integers(-n, n, e).astype(np.int64)
+        v = rng.integers(-n, n, e).astype(np.int64)
+        expected = connected_components_driver(
+            list(zip(u.tolist(), v.tolist())))
+        nodes, roots = cc_label_arrays(u, v)
+        assert dict(zip(nodes.tolist(), roots.tolist())) == expected, trial
 
 
 def test_root_is_component_minimum(random_graph):
