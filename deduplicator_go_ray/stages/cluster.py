@@ -236,12 +236,20 @@ def connected_components_distributed(
             break
         prev_sig = sig
 
-    # after convergence every edge is (node, root)
+    # after convergence every edge is (node, root).  Emit over the
+    # UNDIRECTED star so the root node itself also gets a (root, root)
+    # row — the driver/one-task kernels list every node, and a missing
+    # self-row downstream turns the root member's near_root null,
+    # silently demoting its match_kind (caught by
+    # test_cc_tiers_same_assignments).
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        root = df.groupby("u", sort=False)["v"].min()
-        return pd.DataFrame({"url": root.index, "root": root.values})
+        df = df.drop_duplicates(["u", "v"])
+        g = df.groupby("u", sort=False)["v"].min()
+        root = np.minimum(g.values, g.index.to_numpy())
+        return pd.DataFrame({"url": g.index, "root": root})
 
-    return grouped_apply(cur, ["u"], emit,
+    return grouped_apply(cur.map_batches(undirect, batch_format="pyarrow"),
+                         ["u"], emit,
                          empty_result=pa.table({
                              "url": pa.array([], key_t),
                              "root": pa.array([], key_t)}),

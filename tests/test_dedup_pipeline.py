@@ -191,6 +191,53 @@ def test_flood_verify_partitioned_same_assignments(corpus):
         assert (a[col] == b[col]).all(), col
 
 
+def test_flood_verify_no_endpoint_filter_same_assignments(corpus):
+    """The TRUE-flood twin: above verify_semifilter_max_edges the
+    partitioned verify ships the whole payload tables (no endpoint
+    semi-filter).  Forcing both gates to 0 must still produce
+    byte-identical assignments."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    flood = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(smallset_max_edges=0,
+                       verify_semifilter_max_edges=0),
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = flood.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
+
+
+def test_cc_tiers_same_assignments(corpus):
+    """The three component-resolution tiers (driver kernel, one-task
+    kernel, distributed star loop) must be assignment-identical through
+    the full pipeline."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    onetask = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(driver_dsu_max_edges=0),
+    ).to_pandas()
+    dist = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(driver_dsu_max_edges=0, onetask_cc_max_edges=0),
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    for other in (onetask, dist):
+        b = other.sort_values("url").reset_index(drop=True)
+        for col in ["url", "cluster_id", "keeper_url", "is_keeper",
+                    "action", "match_kind"]:
+            assert (a[col] == b[col]).all(), col
+
+
 def test_semifilter_verify_same_assignments(corpus):
     """The direct-refs verify plan (default at small rep counts: score
     straight against the materialized sigs/reps block refs) and the
