@@ -441,12 +441,14 @@ def run_dedup(
                 num_partitions=cfg.bucket_partitions,
                 uid_bits=cfg.uid_bits,
                 endpoint_filter=semifilter).materialize()]
+            timer.tick("verify_near")
             if cfg.run_substring_pass:
                 sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
                 edge_sets.append(verify_containment_edges_partitioned(
                     sub_cand, reps, num_partitions=cfg.bucket_partitions,
                     uid_bits=cfg.uid_bits,
                     endpoint_filter=semifilter).materialize())
+                timer.tick("verify_containment")
         else:
             # direct-refs sub-plan: with 64-bit uids and a rep-signature
             # matrix under verify_direct_max_bytes, score against the
@@ -461,9 +463,11 @@ def run_dedup(
                 edge_sets.append(verify_containment_edges(
                     sub_cand, reps, direct_refs=direct,
                     prebuilt=cont_idx_ref))
-        if timer.on and len(edge_sets) > 1:
-            # phase-timing mode: materialize each edge set separately so
-            # the [phase] trace attributes near-verify vs containment
+        if timer.on and not flood and len(edge_sets) > 1:
+            # phase-timing mode (smallset plan — the flood branch ticks
+            # inline at its own materialize points): materialize each
+            # edge set separately so the [phase] trace attributes
+            # near-verify vs containment
             edge_sets[0] = edge_sets[0].materialize()
             timer.tick("verify_near")
             edge_sets[1] = edge_sets[1].materialize()
