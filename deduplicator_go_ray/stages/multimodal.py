@@ -54,10 +54,13 @@ class MediaFeatureStage:
       * ``"deterministic_fake"`` (default) — byte-derived fake features
         (the oracle twin: a pure function of the payload BYTES, so the
         SQL oracle can re-derive it);
-      * ``"real"`` — actual PNG pixel decode (pure-stdlib codec,
-        ``functions/image.py``) → 8×8 block-mean luma features.
-        Non-PNG / unsupported payloads surface as in-band DECODE_ERROR
-        rows (≙ files/hash.go:245-264), never exceptions.
+      * ``"real"`` — actual codec dispatch by payload signature:
+        PNG pixels (pure-stdlib codec, ``functions/image.py``) → 8×8
+        block-mean luma features; RIFF/WAVE samples
+        (``functions/audio.py``) → block-RMS energy-envelope features.
+        Unsupported payloads surface as in-band DECODE_ERROR rows
+        (≙ files/hash.go:245-264), never exceptions.  Video remains
+        honestly stubbed — no video codec ships in this environment.
 
     Use as::
 
@@ -84,6 +87,11 @@ class MediaFeatureStage:
 
     def _decode_one(self, p: bytes) -> np.ndarray:
         if self.decoder == "real":
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                from ..functions.audio import (decode_wav,
+                                               energy_envelope_features)
+                wave, _rate = decode_wav(p)
+                return energy_envelope_features(wave, out_dim=self.out_dim)
             from ..functions.image import decode_png, luma_grid_features
             return luma_grid_features(decode_png(p), grid=self._grid)
         return _fake_decode(p, self.out_dim)

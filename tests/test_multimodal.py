@@ -227,3 +227,131 @@ def test_extract_timeout_sentinel(ray_session):
     texts = out["text"].to_pylist()
     assert errs == [None, "TIMEOUT_ERROR", None]
     assert texts[0] == "fine-one"[:10] and texts[2] == "fine-two"[:10]
+
+
+def test_wav_codec_roundtrip():
+    # stdlib WAV codec: encode->decode identity (16-bit quantization
+    # tolerance) across layouts, plus hand-built float32 / 8-bit /
+    # 24-bit streams and in-band rejection of non-WAV payloads
+    import struct
+
+    from deduplicator_go_ray.functions.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    mono = rng.uniform(-1, 1, 480)
+    wave, rate = decode_wav(encode_wav(mono, sample_rate=8000))
+    assert rate == 8000
+    assert np.abs(wave - mono).max() < 1.5 / 32768
+
+    stereo = rng.uniform(-1, 1, (240, 2))
+    wave, _ = decode_wav(encode_wav(stereo, sample_rate=44100))
+    assert np.abs(wave - stereo.mean(axis=1)).max() < 1.5 / 32768
+
+    def riff(fmt_body: bytes, data: bytes) -> bytes:
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # float32 stream decodes exactly
+    f32 = rng.uniform(-1, 1, 100).astype(np.float32)
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    wave, _ = decode_wav(riff(fmt, f32.tobytes()))
+    assert np.array_equal(wave, f32.astype(np.float64))
+
+    # 8-bit unsigned: 128 decodes to exactly zero
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    wave, _ = decode_wav(riff(fmt, bytes([128, 0, 255])))
+    assert wave[0] == 0.0 and wave[1] == -1.0 and 0.99 <= wave[2] <= 1.0
+
+    # 24-bit signed little-endian
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 48000, 3, 24)
+    data = (0x400000).to_bytes(3, "little") + (0xFFFFFF).to_bytes(3, "little")
+    wave, _ = decode_wav(riff(fmt, data))
+    assert np.allclose(wave, [0.5, -1.0 / (1 << 23)])
+
+    for bad in (b"", b"RIFF\x00\x00\x00\x00JUNK", b"not audio at all",
+                riff(struct.pack("<HHIIHH", 2, 1, 16000, 16000, 1, 8), b"\x00")):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_energy_envelope_features():
+    from deduplicator_go_ray.functions.audio import energy_envelope_features
+
+    # constant amplitude a → every block RMS = a → feature 2a-1
+    f = energy_envelope_features(np.full(6400, 0.5), out_dim=64)
+    assert f.shape == (64,) and f.dtype == np.float32
+    assert np.allclose(f, 0.0, atol=1e-6)
+    # loud first half / silent second half → split envelope
+    x = np.r_[np.full(3200, 0.8), np.zeros(3200)]
+    f = energy_envelope_features(x, out_dim=64)
+    assert np.allclose(f[:32], 0.6, atol=1e-6)
+    assert np.allclose(f[32:], -1.0, atol=1e-6)
+    # shorter than out_dim: edge-padded, still well-formed
+    f = energy_envelope_features(np.full(5, 0.25), out_dim=64)
+    assert f.shape == (64,) and np.allclose(f, -0.5, atol=1e-6)
+
+
+def test_real_decoder_wav_features(ray_session):
+    # the real decoder dispatches by payload signature: WAV samples and
+    # PNG pixels in ONE batch, junk → in-band DECODE_ERROR
+    from deduplicator_go_ray.functions.audio import (encode_wav,
+                                                     energy_envelope_features)
+    from deduplicator_go_ray.functions.image import encode_png
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-0.9, 0.9, 4000)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array(["wav0", "png0", "junk"], pa.string()),
+        "kind": pa.array(["audio", "image", "audio"], pa.string()),
+        "payload": pa.array([encode_wav(x), encode_png(img), b"RIFFxxxx"],
+                            pa.binary()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(MediaFeatureStage, concurrency=1, batch_size=8,
+                        fn_constructor_kwargs={"decoder": "real"},
+                        batch_format="pyarrow")
+           .to_pandas().set_index("media_id"))
+    assert out.loc["junk", "error"] == "DECODE_ERROR"
+    assert out.loc["wav0", "error"] is None
+    assert out.loc["png0", "error"] is None
+    got = np.array(out.loc["wav0", "features"], dtype=np.float32)
+    # quantize through the 16-bit writer like the stage does
+    from deduplicator_go_ray.functions.audio import decode_wav
+    want = energy_envelope_features(decode_wav(encode_wav(x))[0],
+                                    out_dim=FEATURE_DIM)
+    assert np.array_equal(got, want)
+
+
+def test_media_dedup_pairs_on_real_wav(ray_session):
+    # audio near-dups under the real decoder: identical + lightly-noised
+    # waveforms pair, an anti-phase envelope stays apart
+    from deduplicator_go_ray.functions.audio import encode_wav
+    from deduplicator_go_ray.stages.multimodal import media_dedup_by_feature
+
+    rng = np.random.default_rng(17)
+    n = 12800
+    block = n // FEATURE_DIM
+    gate = (np.arange(n) // block % 2 == 0)       # on/off envelope
+    carrier = rng.uniform(-1, 1, n)
+    a = 0.8 * carrier * gate
+    near = np.clip(a + rng.normal(0, 0.004, n), -1, 1)
+    b = 0.8 * carrier * ~gate                     # anti-phase envelope
+    rows = {
+        "a_dup1": encode_wav(a), "a_dup2": encode_wav(a),
+        "a_near": encode_wav(near), "b_anti": encode_wav(b),
+    }
+    tbl = pa.table({
+        "media_id": pa.array(sorted(rows), pa.string()),
+        "kind": pa.array(["audio"] * len(rows), pa.string()),
+        "payload": pa.array([rows[k] for k in sorted(rows)], pa.binary()),
+    })
+    for method in ("exact", "lsh"):
+        pairs = media_dedup_by_feature(
+            ray.data.from_arrow(tbl), threshold=0.98, method=method,
+            decoder="real").to_pandas()
+        got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+        assert ("a_dup1", "a_dup2") in got
+        assert ("a_dup1", "a_near") in got and ("a_dup2", "a_near") in got
+        assert not any("b_anti" in p for p in got)
