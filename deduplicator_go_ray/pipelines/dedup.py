@@ -427,28 +427,49 @@ def run_dedup(
         flood = n_cand > cfg.smallset_max_edges
         near_cand = cand.filter(expr=f"kind != {KIND_ANCHOR}")
         if flood:
+            import os as _os
+
             from ..stages.buckets import (verify_containment_edges_partitioned,
                                           verify_near_edges_partitioned)
-            # each partitioned verify is a 2-shuffle chain off the same
-            # materialized cand; materialize each BEFORE the union — one
-            # DAG holding ≥3 hash-shuffle operators plus a union
-            # deadlocks Ray's streaming executor under
-            # GRAFT_SHUFFLE=hash (reproduced in isolation), and the edge
-            # sets are skinny uid pairs, so the barrier is cheap
             semifilter = n_cand <= cfg.verify_semifilter_max_edges
-            edge_sets = [verify_near_edges_partitioned(
+            near_lazy = verify_near_edges_partitioned(
                 near_cand, sigs, cfg.minhash,
                 num_partitions=cfg.bucket_partitions,
                 uid_bits=cfg.uid_bits,
-                endpoint_filter=semifilter).materialize()]
-            timer.tick("verify_near")
-            if cfg.run_substring_pass:
-                sub_cand = cand.filter(expr=f"kind == {KIND_ANCHOR}")
-                edge_sets.append(verify_containment_edges_partitioned(
-                    sub_cand, reps, num_partitions=cfg.bucket_partitions,
-                    uid_bits=cfg.uid_bits,
-                    endpoint_filter=semifilter).materialize())
-                timer.tick("verify_containment")
+                endpoint_filter=semifilter)
+            cont_lazy = (verify_containment_edges_partitioned(
+                cand.filter(expr=f"kind == {KIND_ANCHOR}"), reps,
+                num_partitions=cfg.bucket_partitions,
+                uid_bits=cfg.uid_bits,
+                endpoint_filter=semifilter)
+                if cfg.run_substring_pass else None)
+            overlap = (_os.environ.get("GRAFT_VERIFY_OVERLAP") == "1"
+                       and _os.environ.get("GRAFT_SHUFFLE", "sort") != "hash")
+            if not overlap:
+                # each partitioned verify is a 2-shuffle chain off the
+                # same materialized cand; materialize each before the
+                # union.  Sequential is the DEFAULT: interleaved A/B at
+                # 500k docs measured overlapped execution at best equal
+                # and at worst 1.8× slower (concurrent sort exchanges
+                # contend for the object store), and under
+                # GRAFT_SHUFFLE=hash one DAG holding ≥3 hash-shuffle
+                # operators plus a union deadlocks Ray's streaming
+                # executor (reproduced in isolation).  The edge sets
+                # are skinny uid pairs, so the barrier is cheap.
+                edge_sets = [near_lazy.materialize()]
+                timer.tick("verify_near")
+                if cont_lazy is not None:
+                    edge_sets.append(cont_lazy.materialize())
+                    timer.tick("verify_containment")
+            else:
+                # GRAFT_VERIFY_OVERLAP=1 (sort exchange only): run both
+                # verify chains in one DAG — the executor interleaves
+                # their exchanges.  Kept opt-in for experimentation; see
+                # BENCH/flood_plan_ab.md
+                edge_sets = [(near_lazy.union(cont_lazy)
+                              if cont_lazy is not None
+                              else near_lazy).materialize()]
+                timer.tick("verify_near+containment")
         else:
             # direct-refs sub-plan: with 64-bit uids and a rep-signature
             # matrix under verify_direct_max_bytes, score against the

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import LSHConfig, MinHashConfig, SimHashConfig
@@ -838,16 +839,75 @@ def _sig_blob_table(sigs: "ray.data.Dataset", P: int,
 
 
 def _endpoint_uid_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Materialized single-column ``uid`` table of every edge endpoint
-    — the semi-filter key set for the partitioned verify plans."""
+    """Materialized ``(uid, role)`` table of every edge endpoint (role
+    0 = appeared as ``u``, 1 = as ``v``; a uid in both roles gets two
+    rows) — ONE dataset execution serves both the union semi-filter
+    (which reads only ``uid``) and the per-role payload filters (which
+    select their role worker-side at index-build time).  Role scoping
+    matters because the u- and v-attach exchanges each only join on
+    their own endpoint, and the two endpoint sets barely overlap on a
+    web corpus (measured 500k docs: 92k u-uids / 92k v-uids / 149k
+    union for near pairs) — a role-scoped payload ships ~40% fewer
+    bytes per exchange than the union-filtered one."""
 
     def f(t: pa.Table) -> pa.Table:
         u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
         v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
-        return pa.table({"uid": pa.concat_arrays([u, v])})
+        role = np.empty(len(u) + len(v), np.int8)
+        role[:len(u)] = 0
+        role[len(u):] = 1
+        return pa.table({"uid": pa.concat_arrays([u, v]),
+                         "role": pa.array(role, pa.int8())})
 
     return (edges.select_columns(["u", "v"])
             .map_batches(f, batch_format="pyarrow").materialize())
+
+
+def _filter_payload_by_uid_refs(
+    payload: "ray.data.Dataset",
+    uid_ds: "ray.data.Dataset",
+    role: int | None = None,
+) -> "ray.data.Dataset":
+    """Semi-filter a ``(uid, value)`` payload table by a materialized
+    uid set, broadcast as block refs (same machinery as
+    :func:`semi_filter_by_uid_refs` but keyed on the existing ``uid``
+    column instead of hashing urls).  ``role`` selects one endpoint
+    role from a ``(uid, role)`` table at index-build time (worker-side,
+    cached — no extra dataset execution).  Lazy — stacked on a
+    materialized payload it reads blocks zero-copy and only the kept
+    rows are ever packed into the attach exchange."""
+    import ray as _ray
+    from .lsh import block_refs_of
+
+    refs = tuple(block_refs_of(uid_ds))
+
+    def sorted_uids(key):
+        hit = _UID_CACHE.get(key)
+        if hit is None:
+            tables = _ray.get(list(refs))
+            usable = [t for t in tables if len(t)]
+            if role is not None:
+                usable = [t.filter(pc.equal(t["role"], role))
+                          for t in usable]
+                usable = [t for t in usable if len(t)]
+            arrs = [uid_np(t["uid"], _uid_bits_of(t["uid"]))
+                    for t in usable]
+            hit = (np.sort(np.concatenate(arrs)) if arrs
+                   else np.empty(0, dtype=np.int64))
+            _cache_put(key, hit)
+        return hit
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .common import sorted_probe
+        wanted = sorted_uids((refs, "uid_sorted", role))
+        uid = uid_np(batch["uid"], _uid_bits_of(batch["uid"]))
+        if wanted.dtype == np.int64 and uid.dtype == np.int64:
+            _, keep = sorted_probe(wanted, uid)
+        else:
+            keep = np.isin(uid, wanted)
+        return batch.filter(pa.array(keep))
+
+    return payload.map_batches(f, batch_format="pyarrow")
 
 
 def verify_near_edges_partitioned(
@@ -871,21 +931,29 @@ def verify_near_edges_partitioned(
     disables it past ``verify_semifilter_max_edges``, where the
     endpoint array itself stops being broadcastable."""
     P = cfg.num_perms
+    ep = _endpoint_uid_table(edges) if endpoint_filter else None
     if endpoint_filter:
-        sigs = semi_filter_by_uid_refs(
-            sigs, _endpoint_uid_table(edges), ["url", "minhash"])
+        sigs = semi_filter_by_uid_refs(sigs, ep, ["url", "minhash"])
     blobs = _sig_blob_table(sigs, P, uid_bits)
+    blobs_u = blobs_v = blobs
     if endpoint_filter:
         # the u- and v-attach both consume `blobs`; left lazy, the
         # filter + blob build would execute twice (two full scans of
         # the signature table).  Bounded by the endpoint count here;
         # the unfiltered (true-flood) plan stays streaming.
         blobs = blobs.materialize()
+        # role-scoped payloads: each attach only joins on ITS endpoint,
+        # and the u/v endpoint sets barely overlap (500k docs: 92k/92k
+        # vs 149k union) — the role filter is a lazy zero-copy probe
+        # over the materialized blob blocks, so each exchange packs
+        # ~40% fewer signature bytes
+        blobs_u = _filter_payload_by_uid_refs(blobs, ep, role=0)
+        blobs_v = _filter_payload_by_uid_refs(blobs, ep, role=1)
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
     sig_t = pa.binary(P * 8)
     both = _attach_payload_partitioned(
-        _attach_payload_partitioned(edges, blobs, "u", "sig_u",
+        _attach_payload_partitioned(edges, blobs_u, "u", "sig_u",
                                     num_partitions, int_cols=edge_ints,
                                     out_type=sig_t,
                                     # the fused emitter surfaces a pair
@@ -894,7 +962,7 @@ def verify_near_edges_partitioned(
                                     # is glued on (~2.9× fewer rows
                                     # through the second exchange)
                                     dedupe_on=("u", "v")),
-        blobs, "v", "sig_v", num_partitions, int_cols=edge_ints,
+        blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
         out_type=sig_t)
     thr = cfg.verify_threshold
 
@@ -954,9 +1022,9 @@ def verify_containment_edges_partitioned(
     of the corpus while the text table is its biggest column (measured
     500k docs / 5k anchor pairs: the unfiltered exchange ships 459k
     texts to verify 5k pairs, 60 s of a 113 s flood verify)."""
+    ep = _endpoint_uid_table(pairs) if endpoint_filter else None
     if endpoint_filter:
-        texts = semi_filter_by_uid_refs(
-            texts, _endpoint_uid_table(pairs), ["url", "text"])
+        texts = semi_filter_by_uid_refs(texts, ep, ["url", "text"])
 
     def to_payload(t: pa.Table) -> pa.Table:
         return pa.table({"uid": uid_arrow(uid_of_urls(t["url"], uid_bits)),
@@ -964,16 +1032,23 @@ def verify_containment_edges_partitioned(
 
     blobs = texts.select_columns(["url", "text"]).map_batches(
         to_payload, batch_format="pyarrow")
+    blobs_u = blobs_v = blobs
     if endpoint_filter:
-        # both attach passes consume `blobs` — see the near twin
+        # both attach passes consume `blobs` — see the near twin; the
+        # role-scoped filters then halve each exchange's text payload
+        # (contained-side and container-side endpoints are near-disjoint
+        # by construction: 500k docs measured 36.8k u / 40.7k v / 73.4k
+        # union anchor endpoints)
         blobs = blobs.materialize()
+        blobs_u = _filter_payload_by_uid_refs(blobs, ep, role=0)
+        blobs_v = _filter_payload_by_uid_refs(blobs, ep, role=1)
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
     both = _attach_payload_partitioned(
-        _attach_payload_partitioned(pairs, blobs, "u", "text_u",
+        _attach_payload_partitioned(pairs, blobs_u, "u", "text_u",
                                     num_partitions, int_cols=edge_ints,
                                     out_type=pa.string()),
-        blobs, "v", "text_v", num_partitions, int_cols=edge_ints,
+        blobs_v, "v", "text_v", num_partitions, int_cols=edge_ints,
         out_type=pa.string())
 
     def check(batch: pa.Table) -> pa.Table:
