@@ -684,6 +684,7 @@ def _attach_payload_partitioned(
     int_cols: "dict[str, pa.DataType] | None" = None,
     out_type: "pa.DataType | None" = None,
     dedupe_on: "tuple[str, ...] | None" = None,
+    post_fn=None,
 ) -> "ray.data.Dataset":
     """Inner-join ``payload`` (uid, value) onto edge rows keyed by the
     ``endpoint`` column — one hash-partitioned packed shuffle, pandas
@@ -703,7 +704,13 @@ def _attach_payload_partitioned(
     duplicate would otherwise ride BOTH attach exchanges with a 1 KiB
     signature glued on.  Dedup here is global when ``dedupe_on``
     includes the partition key (equal pairs co-locate), and costs no
-    extra exchange."""
+    extra exchange.
+
+    ``post_fn`` (arrow path only): applied to each partition's joined
+    table INSIDE the reduce — a verify/score step fused here never
+    writes the wide (edges + payload) rows to the object store; the
+    reduce emits ``post_fn``'s (skinny) output directly.  Must accept
+    and return a pyarrow Table and handle zero-row input."""
     if int_cols is None:
         e_schema = edges.schema(fetch_if_missing=False)
         int_cols = ({n: t for n, t in zip(e_schema.names, e_schema.types)
@@ -766,8 +773,9 @@ def _attach_payload_partitioned(
                 empty = pa.array(np.empty(0, np.int64))
                 typ = (full[out_col].type if out_col in full.column_names
                        else (out_type or pa.null()))
-                return base.take(empty).append_column(
+                out = base.take(empty).append_column(
                     out_col, pa.array([], typ))
+                return post_fn(out) if post_fn is not None else out
             pk = k[pay_rows]
             order = np.argsort(pk, kind="stable")
             pk_sorted = pk[order]
@@ -787,13 +795,14 @@ def _attach_payload_partitioned(
             if isinstance(pay, pa.ChunkedArray):
                 pay = pay.combine_chunks()
             out = base.take(pa.array(keep_e))
-            return out.append_column(out_col, pay.take(pa.array(take_p)))
+            out = out.append_column(out_col, pay.take(pa.array(take_p)))
+            return post_fn(out) if post_fn is not None else out
 
         return grouped_apply([e, p], ["__k"], merge_arrow,
                              num_partitions=num_partitions, arrow_fn=True,
                              out_blocks=_hash_partitions(num_partitions))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame):
         is_p = df["__m"] == 1
         eg = df.loc[~is_p].drop(
             columns=[c for c in (out_col, "__m") if c in df.columns])
@@ -810,9 +819,13 @@ def _attach_payload_partitioned(
             out[out_col] = (pd.array([], dtype=pd.ArrowDtype(out_type))
                             if out_type is not None
                             else pd.Series(dtype=object))
-            return out.drop(columns="__k")
-        pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
-        return eg.merge(pay, on="__k", how="inner").drop(columns="__k")
+            out = out.drop(columns="__k")
+        else:
+            pay = df.loc[is_p, ["__k", out_col]].drop_duplicates("__k")
+            out = eg.merge(pay, on="__k", how="inner").drop(columns="__k")
+        if post_fn is not None:
+            return post_fn(pa.Table.from_pandas(out, preserve_index=False))
+        return out
 
     return grouped_apply([e, p], ["__k"], merge,
                          num_partitions=num_partitions,
@@ -952,18 +965,6 @@ def verify_near_edges_partitioned(
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
     sig_t = pa.binary(P * 8)
-    both = _attach_payload_partitioned(
-        _attach_payload_partitioned(edges, blobs_u, "u", "sig_u",
-                                    num_partitions, int_cols=edge_ints,
-                                    out_type=sig_t,
-                                    # the fused emitter surfaces a pair
-                                    # once per shared band/chunk — drop
-                                    # the copies before any signature
-                                    # is glued on (~2.9× fewer rows
-                                    # through the second exchange)
-                                    dedupe_on=("u", "v")),
-        blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
-        out_type=sig_t)
     thr = cfg.verify_threshold
 
     def _sig_matrix(col, n: int) -> np.ndarray:
@@ -997,7 +998,21 @@ def verify_near_edges_partitioned(
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
-    return both.map_batches(score, batch_format="pyarrow")
+    # the score runs as post_fn INSIDE the second attach's reduce — the
+    # wide (u, v, kind, sig_u, sig_v) join rows (2 KiB+/row) are scored
+    # in place and only the skinny surviving edges ever leave the task
+    return _attach_payload_partitioned(
+        _attach_payload_partitioned(edges, blobs_u, "u", "sig_u",
+                                    num_partitions, int_cols=edge_ints,
+                                    out_type=sig_t,
+                                    # the fused emitter surfaces a pair
+                                    # once per shared band/chunk — drop
+                                    # the copies before any signature
+                                    # is glued on (~2.9× fewer rows
+                                    # through the second exchange)
+                                    dedupe_on=("u", "v")),
+        blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
+        out_type=sig_t, post_fn=score)
 
 
 def _uid_cast(col, uid_bits: int):
@@ -1044,14 +1059,12 @@ def verify_containment_edges_partitioned(
         blobs_v = _filter_payload_by_uid_refs(blobs, ep, role=1)
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
-    both = _attach_payload_partitioned(
-        _attach_payload_partitioned(pairs, blobs_u, "u", "text_u",
-                                    num_partitions, int_cols=edge_ints,
-                                    out_type=pa.string()),
-        blobs_v, "v", "text_v", num_partitions, int_cols=edge_ints,
-        out_type=pa.string())
 
     def check(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
+                             "v": pa.array([], uid_pa_type(uid_bits)),
+                             "kind": pa.array([], pa.int8())})
         keep = [bool(ta) and bool(tb) and (ta in tb)
                 for ta, tb in zip(batch["text_u"].to_pylist(),
                                   batch["text_v"].to_pylist())]
@@ -1062,7 +1075,13 @@ def verify_containment_edges_partitioned(
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
-    return both.map_batches(check, batch_format="pyarrow")
+    # check fused into the second attach's reduce — see the near twin
+    return _attach_payload_partitioned(
+        _attach_payload_partitioned(pairs, blobs_u, "u", "text_u",
+                                    num_partitions, int_cols=edge_ints,
+                                    out_type=pa.string()),
+        blobs_v, "v", "text_v", num_partitions, int_cols=edge_ints,
+        out_type=pa.string(), post_fn=check)
 
 
 def _chain_star_pairs(uids: np.ndarray, sizes: np.ndarray, starts: np.ndarray,
