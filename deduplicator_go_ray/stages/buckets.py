@@ -1001,16 +1001,20 @@ def verify_near_edges_partitioned(
     # the score runs as post_fn INSIDE the second attach's reduce — the
     # wide (u, v, kind, sig_u, sig_v) join rows (2 KiB+/row) are scored
     # in place and only the skinny surviving edges ever leave the task
+    att_u = _attach_payload_partitioned(
+        edges, blobs_u, "u", "sig_u",
+        num_partitions, int_cols=edge_ints, out_type=sig_t,
+        # the fused emitter surfaces a pair once per shared band/chunk
+        # — drop the copies before any signature is glued on (~2.9×
+        # fewer rows through the second exchange)
+        dedupe_on=("u", "v"))
+    # BARRIER between the two attach exchanges: two AllToAll operators
+    # chained lazily in one streaming DAG split the CPU budget between
+    # their concurrent sub-stages — adjacent A/B at 500k docs measured
+    # the lazy chain 1.6× slower at 16 cpus and neutral at 4, i.e. the
+    # lazy chain is precisely what flattens the N-vs-4N scaling curve
     return _attach_payload_partitioned(
-        _attach_payload_partitioned(edges, blobs_u, "u", "sig_u",
-                                    num_partitions, int_cols=edge_ints,
-                                    out_type=sig_t,
-                                    # the fused emitter surfaces a pair
-                                    # once per shared band/chunk — drop
-                                    # the copies before any signature
-                                    # is glued on (~2.9× fewer rows
-                                    # through the second exchange)
-                                    dedupe_on=("u", "v")),
+        att_u.materialize(),
         blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
         out_type=sig_t, post_fn=score)
 
@@ -1075,11 +1079,13 @@ def verify_containment_edges_partitioned(
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
-    # check fused into the second attach's reduce — see the near twin
+    # check fused into the second attach's reduce, barrier between the
+    # exchanges — both as in the near twin (see the rationale there)
+    att_u = _attach_payload_partitioned(
+        pairs, blobs_u, "u", "text_u",
+        num_partitions, int_cols=edge_ints, out_type=pa.string())
     return _attach_payload_partitioned(
-        _attach_payload_partitioned(pairs, blobs_u, "u", "text_u",
-                                    num_partitions, int_cols=edge_ints,
-                                    out_type=pa.string()),
+        att_u.materialize(),
         blobs_v, "v", "text_v", num_partitions, int_cols=edge_ints,
         out_type=pa.string(), post_fn=check)
 
