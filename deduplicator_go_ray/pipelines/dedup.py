@@ -429,6 +429,16 @@ def run_dedup(
         if flood:
             import os as _os
 
+            # the speculative direct-index builds lost the bet — stop
+            # them NOW instead of letting a wasted 1-cpu gather+sort
+            # (25% of a 4-cpu node) run under the verify exchanges;
+            # cancel on a finished task is a no-op and plasma reclaims
+            # the object either way
+            for _ref in (near_idx_ref, cont_idx_ref):
+                if _ref is not None:
+                    ray.cancel(_ref, force=False)
+            near_idx_ref = cont_idx_ref = None
+
             from ..stages.buckets import (verify_containment_edges_partitioned,
                                           verify_near_edges_partitioned)
             semifilter = n_cand <= cfg.verify_semifilter_max_edges
