@@ -120,8 +120,9 @@ def luma_grid_features(img: np.ndarray, grid: int = 8) -> np.ndarray:
     style descriptor: stable under re-encoding, sensitive to content).
     Images smaller than the grid are edge-padded by repetition."""
     img = np.asarray(img)
-    ch = img.shape[2] if img.ndim == 3 else 1
-    if ch >= 3:
+    if img.ndim == 2:               # grayscale without a channel axis
+        img = img[:, :, None]
+    if img.shape[2] >= 3:
         luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
                 + 0.114 * img[:, :, 2])
     else:

@@ -174,23 +174,23 @@ def run_dedup(
             batch_size=cfg.signature_batch_size,
             concurrency=cfg.signature_concurrency,
         )
-    # materialize ONCE: the ok/err/small branches below each consume this
-    # dataset — left lazy, the whole extract pipeline would re-execute
-    # per branch (3× the heaviest map stage)
+    # materialize ONCE: the ok branch here plus the error/too-small
+    # self-cluster passes inside _finish all consume this dataset —
+    # left lazy, the whole extract pipeline would re-execute per
+    # consumer (3× the heaviest map stage)
     hashed = add_content_key(extracted).materialize()
     timer.tick("extract+hash")
     # ≙ every reference dup query excluding sentinel rows (files/utils.go:72)
-    # (the error branch lives inside _finish's selfcluster — see below)
+    # (the error and too-small branches live inside _finish's
+    # selfcluster — see below)
     ok = hashed.map_batches(
         lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
 
     if cfg.min_size:
         # ≙ --min-size predicate (files/utils.go:77-81): tiny docs are
-        # never dup candidates but still flow through as uniques.
-        small = ok.filter(expr=f"n_bytes < {int(cfg.min_size)}")
+        # never dup candidates but still flow through as uniques (the
+        # too-small self-cluster pass in _finish).
         ok = ok.filter(expr=f"n_bytes >= {int(cfg.min_size)}")
-    else:
-        small = None
 
     # ---- shared tail: self-cluster pass-throughs + lineage ------------------
     # (also the early-exit path for an empty / all-error corpus)

@@ -120,6 +120,17 @@ def _verify_gram_pairs_keyed(cand: "ray.data.Dataset",
     return both.map_batches(score, batch_format="pyarrow")
 
 
+def _finish_jaccard(out: pd.DataFrame) -> pd.DataFrame:
+    """Shared output contract of every ngram_jaccard_pairs plan: typed
+    empty frame, pair-deduped, deterministically ordered."""
+    if out.empty:
+        out = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                            "doc_id_b": pd.Series(dtype="int64"),
+                            "jaccard": pd.Series(dtype="float64")})
+    return (out.drop_duplicates(["doc_id_a", "doc_id_b"])
+            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+
+
 def ngram_jaccard_pairs(sf_dir: str, plan: str = "auto"):
     sets = _gram_sets(sf_dir).materialize()
 
@@ -163,9 +174,7 @@ def ngram_jaccard_pairs(sf_dir: str, plan: str = "auto"):
     cand = grouped_apply(gram_rows, ["gram"], emit_pairs).materialize()
     n_cand = cand.count()
     if n_cand == 0:
-        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
-                             "doc_id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
+        return _finish_jaccard(pd.DataFrame())
 
     # size-aware verify (the flagship's smallset_max_edges gate): a
     # candidate flood routes through the hash-partitioned join twin
@@ -175,13 +184,7 @@ def ngram_jaccard_pairs(sf_dir: str, plan: str = "auto"):
         plan = ("keyed" if n_cand > PipelineConfig().smallset_max_edges
                 else "smallset")
     if plan == "keyed":
-        out = _verify_gram_pairs_keyed(cand, sets).to_pandas()
-        if out.empty:
-            out = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
-                                "doc_id_b": pd.Series(dtype="int64"),
-                                "jaccard": pd.Series(dtype="float64")})
-        return (out.drop_duplicates(["doc_id_a", "doc_id_b"])
-                .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+        return _finish_jaccard(_verify_gram_pairs_keyed(cand, sets).to_pandas())
 
     # smallset plan: semi-filter the gram-set table to the candidate
     # endpoints and broadcast its block refs (per-worker cached index) —
@@ -233,13 +236,8 @@ def ngram_jaccard_pairs(sf_dir: str, plan: str = "auto"):
             "jaccard": pa.array(jac[keep], pa.float64()),
         })
 
-    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        out = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
-                            "doc_id_b": pd.Series(dtype="int64"),
-                            "jaccard": pd.Series(dtype="float64")})
-    return (out.drop_duplicates(["doc_id_a", "doc_id_b"])
-            .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+    return _finish_jaccard(
+        cand.map_batches(verify, batch_format="pyarrow").to_pandas())
 
 
 register(

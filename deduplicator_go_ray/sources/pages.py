@@ -136,16 +136,31 @@ def read_pages(path: str, columns: list[str] | None = None,
         return ds.map_batches(lambda t: _normalize_pages(t, cols),
                               batch_format="pyarrow")
     if fmt == "json":
-        # For a directory, filter to recognized data extensions so a
-        # stray README / checksum file doesn't fail the read (mirrors
-        # _infer_format, which skips such entries during inference).
-        # For an explicit single file keep file_extensions=None: Ray's
-        # default filter would exclude .ndjson and extension-less
-        # shards even though the reader parses them fine.
+        # For a directory, filter the read to the suffixes of the files
+        # _infer_format actually recognizes (one driver-side walk, the
+        # files' own casing preserved — Ray's file_extensions match is a
+        # case-sensitive endswith) so a stray README / checksum file
+        # doesn't fail the read.  Entries without a recognized data
+        # extension are skipped, exactly like inference skips them; a
+        # directory with NO recognized suffixes at all (e.g. fmt="json"
+        # forced on extension-less shards) falls back to the permissive
+        # file_extensions=None read of every entry.  For an explicit
+        # single file keep None too: Ray's default filter would exclude
+        # .ndjson even though the reader parses it fine.
         exts = None
         if os.path.isdir(path):
-            exts = [e + c for e in ("json", "jsonl", "ndjson")
-                    for c in ("", ".gz", ".zst", ".bz2")]
+            seen: set[str] = set()
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith((".", "_")) or _ext_format(f) != "json":
+                        continue
+                    name, comp = f, ""
+                    for suf in (".gz", ".zst", ".bz2"):
+                        if name.lower().endswith(suf):
+                            name, comp = name[:-len(suf)], name[-len(suf):]
+                            break
+                    seen.add((os.path.splitext(name)[1] + comp).lstrip("."))
+            exts = sorted(seen) or None
         ds = ray.data.read_json(path, file_extensions=exts)
     elif fmt == "csv":
         # CSV can't distinguish empty from absent — read "" (and ONLY

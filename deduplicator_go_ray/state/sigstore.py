@@ -552,7 +552,10 @@ def upgrade_signatures(
              .map_batches(acct, batch_format="pyarrow").materialize())
     unchanged = int(stats.sum("unchanged") or 0)
     failed = int(stats.sum("failed") or 0)
-    report = {"upgraded": int(n_computed), "unchanged": unchanged,
+    # disjoint accounting ≙ files/hash_upgrade.go upgraded/unchanged/
+    # failed: n_computed counts every recomputed row INCLUDING the ones
+    # whose recompute errored — those belong to "failed" only
+    report = {"upgraded": int(n_computed) - failed, "unchanged": unchanged,
               "failed": failed, "superseded_files": len(superseded)}
     return sigs, report
 

@@ -107,6 +107,20 @@ def test_png_codec_roundtrip_and_filters():
     assert np.array_equal(decode_png(png), img.astype(np.uint8).reshape(5, 6, 3))
 
 
+def test_luma_features_accept_2d_grayscale():
+    # a (H, W) array without a channel axis must behave like the same
+    # pixels with an explicit single channel (regression: the 2-D branch
+    # computed ch=1 but still indexed img[:, :, 0])
+    from deduplicator_go_ray.functions.image import luma_grid_features
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(20, 17), dtype=np.uint8)
+    f2d = luma_grid_features(gray)
+    f3d = luma_grid_features(gray[:, :, None])
+    assert np.array_equal(f2d, f3d)
+    assert f2d.shape == (64,) and f2d.dtype == np.float32
+
+
 def test_real_decoder_png_features(ray_session):
     # the real decoder decodes actual PNG pixels; non-PNG payloads are
     # in-band DECODE_ERROR rows, never exceptions

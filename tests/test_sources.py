@@ -156,6 +156,34 @@ def test_ndjson_and_gz_inference_and_read(ray_session, tmp_path):
         json.dumps({"url": "v", "warc_ts": 2, "text": "y"}) + "\n")
     assert _infer_format(str(d)) == "json"
     assert _infer_format("/x/part-0.jsonl.gz") == "json"
+    # the read of that mixed directory must skip the README (and the
+    # subdir) instead of failing at parse time
+    df2 = read_pages(str(d)).to_pandas()
+    assert list(df2["url"]) == ["v"]
+
+
+def test_json_dir_unusual_shard_names(ray_session, tmp_path):
+    # uppercase extension: recognized by inference (case-folded) — the
+    # read filter must keep it too (Ray's endswith match is
+    # case-sensitive, so the filter derives suffixes from the actual
+    # listing)
+    d = tmp_path / "upper"
+    d.mkdir()
+    (d / "PART-0.JSONL").write_text(
+        json.dumps({"url": "a", "warc_ts": 1, "text": "x"}) + "\n")
+    (d / "part-1.jsonl").write_text(
+        json.dumps({"url": "b", "warc_ts": 2, "text": "y"}) + "\n")
+    df = read_pages(str(d)).to_pandas()
+    assert sorted(df["url"]) == ["a", "b"]
+
+    # extension-less shards with fmt forced: no recognized suffix in the
+    # listing → permissive fallback reads every entry (old behavior)
+    d2 = tmp_path / "bare"
+    d2.mkdir()
+    (d2 / "part-00000").write_text(
+        json.dumps({"url": "c", "warc_ts": 3, "text": "z"}) + "\n")
+    df2 = read_pages(str(d2), fmt="json").to_pandas()
+    assert list(df2["url"]) == ["c"]
 
 
 def test_warc_ts_string_variants(ray_session, tmp_path):
