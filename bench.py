@@ -159,7 +159,13 @@ print(json.dumps({{"wall": wall, "rows": len(df),
 ray.shutdown()
 """
     proc = subprocess.run([sys.executable, "-c", code],
-                          capture_output=True, text=True, timeout=3600)
+                          capture_output=True, text=True, timeout=7200)
+    # persist the child's full log: under GRAFT_PHASE_TIMING=1 the
+    # [phase]/[note] lines (n_cand vs smallset_max_edges, n_edges vs
+    # driver_dsu_max_edges) are the evidence of WHICH physical plan
+    # self-selected on this corpus at default gates
+    with open(out_path + ".log", "w") as fh:
+        fh.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
     if proc.returncode != 0:
         raise RuntimeError(f"scaling child ({num_cpus} cpus) failed:\n{proc.stderr[-2000:]}")
     return json.loads(proc.stdout.strip().splitlines()[-1])
