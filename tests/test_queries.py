@@ -104,6 +104,17 @@ def test_embedding_pairs_lsh_equals_exact(registry):
     assert exact.equals(lsh), (len(exact), len(lsh))
 
 
+def test_embedding_pairs_router_is_size_aware(registry):
+    # exact_max_rows=0 forces the router onto the bucketed LSH plan;
+    # the switch must be invisible in the result (same frame, same
+    # ordering as the exact plan the oracle pins)
+    from deduplicator_go_ray.pipelines.dedup_queries import (
+        embedding_dup_pairs)
+    exact = embedding_dup_pairs(SF_DIR, exact_max_rows=None)
+    routed = embedding_dup_pairs(SF_DIR, exact_max_rows=0)
+    assert exact.equals(routed), (len(exact), len(routed))
+
+
 def test_ann_lsh_recall(registry):
     exact = registry["ann_topk"](SF_DIR)
     approx = registry["ann_lsh_topk"](SF_DIR)
