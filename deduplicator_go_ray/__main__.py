@@ -24,10 +24,33 @@ import sys
 
 
 def _ray():
+    """Attach to the ambient Ray cluster, or start a local one.
+
+    This is what makes every CLI command a valid ``ray job submit``
+    entrypoint (the north rule's deployment shape):
+
+        ray job submit --working-dir . -- \\
+            python -m deduplicator_go_ray run --input s3://... --output ...
+
+    Inside a submitted job ``RAY_ADDRESS`` points at the running
+    cluster, so we attach instead of booting a private local instance
+    (which would ignore the cluster's nodes entirely).  With no ambient
+    cluster — dev boxes, this sandbox — we fall back to a local
+    session, exactly as before.
+    """
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr in (None, "", "local"):
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        else:
+            # cluster attach: never pass include_dashboard — the head
+            # node already decided that, and the arg is start-only
+            ray.init(address=addr, logging_level="ERROR")
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
     return ray

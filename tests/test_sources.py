@@ -140,6 +140,30 @@ def test_cli_jsonl_in_jsonl_out(ray_session, tmp_path, monkeypatch):
     assert all(r["action"] in ("keep", "drop", "error") for r in rows)
 
 
+def test_cli_ray_attach_respects_ambient_cluster(monkeypatch):
+    """`ray job submit` contract: with RAY_ADDRESS pointing at a
+    cluster the CLI attaches to it (and never passes the start-only
+    include_dashboard arg); only without one does it boot local."""
+    import ray
+
+    import deduplicator_go_ray.__main__ as m
+
+    calls: dict = {}
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    monkeypatch.setattr(ray, "init", lambda **kw: calls.update(kw))
+
+    monkeypatch.setenv("RAY_ADDRESS", "ray://head:10001")
+    m._ray()
+    assert calls["address"] == "ray://head:10001"
+    assert "include_dashboard" not in calls
+
+    calls.clear()
+    monkeypatch.setenv("RAY_ADDRESS", "local")
+    m._ray()
+    assert calls["address"] == "local"
+    assert calls["include_dashboard"] is False
+
+
 def test_ndjson_and_gz_inference_and_read(ray_session, tmp_path):
     src = tmp_path / "pages.ndjson"
     with open(src, "w") as f:
