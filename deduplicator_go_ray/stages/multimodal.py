@@ -5,11 +5,15 @@ Task-brief component with no reference analogue (deDuplicator-Go hashes
 opaque file bytes — ``files/files.go:76-156`` — which is exactly how a
 multimodal payload enters this engine: bytes + metadata).  The Ray-side
 plumbing — schema, actor-pool stage shape, small batch sizing for wide
-binary rows, output layout — is real and tested; the actual codec work
-is STUBBED behind ``decoder=`` because image/audio libraries are not
-available in this environment: the default ``deterministic_fake``
-decoder derives reproducible pseudo-features from the payload bytes, so
-every downstream contract (shapes, dtypes, determinism) is exercised.
+binary rows, output layout — is real and tested.  ``decoder="real"``
+dispatches to genuine pure-stdlib codecs (PNG ``functions/image.py``,
+RIFF/WAVE ``functions/audio.py``, animated GIF ``functions/video.py``
+— no image/audio/video libraries ship in this environment, so the
+codecs are implemented from the public specifications); the default
+``deterministic_fake`` decoder derives reproducible pseudo-features
+from the payload bytes and remains the SQL-oracle twin, so every
+downstream contract (shapes, dtypes, determinism) is exercised both
+ways.
 
 These stages are genuinely stateful (a real decoder loads codec tables /
 model weights), so unlike the light text kernels they default to ACTOR
@@ -57,10 +61,12 @@ class MediaFeatureStage:
       * ``"real"`` — actual codec dispatch by payload signature:
         PNG pixels (pure-stdlib codec, ``functions/image.py``) → 8×8
         block-mean luma features; RIFF/WAVE samples
-        (``functions/audio.py``) → block-RMS energy-envelope features.
-        Unsupported payloads surface as in-band DECODE_ERROR rows
-        (≙ files/hash.go:245-264), never exceptions.  Video remains
-        honestly stubbed — no video codec ships in this environment.
+        (``functions/audio.py``) → block-RMS energy-envelope features;
+        animated GIF (pure-stdlib LZW, ``functions/video.py``) → mean
+        of per-frame block-mean luma grids (frame-level sampling lives
+        in FrameSampleStage below).  Unsupported payloads surface as
+        in-band DECODE_ERROR rows (≙ files/hash.go:245-264), never
+        exceptions.
 
     Use as::
 
@@ -92,6 +98,15 @@ class MediaFeatureStage:
                                                energy_envelope_features)
                 wave, _rate = decode_wav(p)
                 return energy_envelope_features(wave, out_dim=self.out_dim)
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                from ..functions.image import luma_grid_features
+                from ..functions.video import decode_gif
+                frames, _durs = decode_gif(p)
+                # video-level descriptor: mean of per-frame luma grids
+                # (deterministic, order-independent of sampling config)
+                return np.mean(
+                    [luma_grid_features(f, grid=self._grid) for f in frames],
+                    axis=0, dtype=np.float64).astype(np.float32)
             from ..functions.image import decode_png, luma_grid_features
             return luma_grid_features(decode_png(p), grid=self._grid)
         return _fake_decode(p, self.out_dim)
@@ -118,25 +133,74 @@ class MediaFeatureStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: sample N pseudo-frames from a video payload.
+    """Actor-pool stage: sample N frames from a video payload.
 
     Emits one row per sampled frame — ``flat_map`` semantics expressed as
     a batch transform (rows out ≠ rows in is fine for map_batches).
-    The frame "decode" is the same deterministic stub; offsets are real.
+
+    ``decoder``:
+      * ``"deterministic_fake"`` (default) — pseudo-frames sliced from
+        the payload bytes; offsets spread over the ``duration_ms``
+        metadata (the oracle twin: a pure function of the bytes);
+      * ``"real"`` — animated-GIF decode (pure-stdlib LZW codec,
+        ``functions/video.py``): frames sampled evenly across the
+        ACTUAL frame sequence, offsets from the ACTUAL per-frame
+        delays, features = 8×8 block-mean luma of the composited
+        pixels (the same perceptual descriptor as the image path).
+        Non-GIF payloads surface as one in-band DECODE_ERROR row
+        (frame_offset_ms=-1) — never exceptions, ≙ files/hash.go:245-264.
     """
 
-    def __init__(self, n_frames: int = 4, out_dim: int = FEATURE_DIM) -> None:
+    def __init__(self, n_frames: int = 4, out_dim: int = FEATURE_DIM,
+                 decoder: str = "deterministic_fake") -> None:
+        if decoder == "real":
+            grid = int(round(out_dim ** 0.5))
+            if grid * grid != out_dim:
+                raise ValueError(
+                    f"real decoder needs a square out_dim, got {out_dim}")
+            self._grid = grid
+        elif decoder != "deterministic_fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.n_frames = n_frames
         self.out_dim = out_dim
+        self.decoder = decoder
+
+    def _sample_real(self, payload: bytes):
+        """GIF payload → (offsets_ms, features[n, out_dim])."""
+        from ..functions.image import luma_grid_features
+        from ..functions.video import decode_gif
+
+        frames, durs = decode_gif(payload)
+        n = max(1, self.n_frames)
+        starts = np.concatenate(([0], np.cumsum(durs[:-1], dtype=np.int64)))
+        picks = [len(frames) * k // n for k in range(n)]
+        offs = [int(starts[i]) for i in picks]
+        feats = [luma_grid_features(frames[i], grid=self._grid)
+                 for i in picks]
+        return offs, feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, feats = [], [], []
+        ids, fidx, feats, errs = [], [], [], []
         for mid, payload, dur in zip(batch["media_id"].to_pylist(),
                                      batch["payload"].to_pylist(),
                                      batch["duration_ms"].to_pylist()):
             if not payload:
                 continue
             n = max(1, self.n_frames)
+            if self.decoder == "real":
+                try:
+                    offs, fs = self._sample_real(payload)
+                except Exception:
+                    ids.append(mid)
+                    fidx.append(-1)
+                    feats.append(np.zeros(self.out_dim, np.float32))
+                    errs.append("DECODE_ERROR")
+                    continue
+                ids.extend([mid] * n)
+                fidx.extend(offs)
+                feats.extend(fs)
+                errs.extend([None] * n)
+                continue
             for k in range(n):
                 # deterministic frame offsets across the duration
                 off_ms = (dur or 0) * k // n
@@ -144,6 +208,7 @@ class FrameSampleStage:
                 ids.append(mid)
                 fidx.append(off_ms)
                 feats.append(_fake_decode(chunk, self.out_dim))
+                errs.append(None)
         flat = (np.concatenate(feats) if feats
                 else np.zeros(0, dtype=np.float32))
         return pa.table({
@@ -151,6 +216,7 @@ class FrameSampleStage:
             "frame_offset_ms": pa.array(fidx, pa.int32()),
             "features": pa.FixedSizeListArray.from_arrays(
                 pa.array(flat, pa.float32()), self.out_dim),
+            "error": pa.array(errs, pa.string()),
         })
 
 

@@ -369,3 +369,147 @@ def test_media_dedup_pairs_on_real_wav(ray_session):
         assert ("a_dup1", "a_dup2") in got
         assert ("a_dup1", "a_near") in got and ("a_dup2", "a_near") in got
         assert not any("b_anti" in p for p in got)
+
+
+# ---------------------------------------------------------------------------
+# real video path: pure-stdlib animated-GIF codec (functions/video.py)
+# ---------------------------------------------------------------------------
+
+def test_gif_codec_roundtrip():
+    # full-frame opaque animation: decoded composites == encoded frames,
+    # durations survive (centisecond granularity), LZW clear-code runs
+    # exercised by a frame bigger than one max_run
+    from deduplicator_go_ray.functions.video import decode_gif, encode_gif
+
+    rng = np.random.default_rng(23)
+    frames = rng.integers(0, 6, (3, 20, 30), dtype=np.uint8) * 40
+    frames = np.stack([np.stack([f, f // 2, 255 - f], axis=-1)
+                       for f in frames])
+    data = encode_gif(frames, [100, 250, 30])
+    got, durs = decode_gif(data)
+    assert got.shape == frames.shape
+    np.testing.assert_array_equal(got, frames)
+    assert durs.tolist() == [100, 250, 30]
+
+
+def test_gif_interlace_roundtrip():
+    from deduplicator_go_ray.functions.video import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4, (13, 9, 3), dtype=np.uint8) * 60
+    got, _ = decode_gif(encode_gif([img], interlace=True))
+    np.testing.assert_array_equal(got[0], img)
+
+
+def test_gif_transparency_offsets_and_disposal():
+    from deduplicator_go_ray.functions.video import decode_gif, encode_gif
+
+    RED, BLUE, GREEN = (255, 0, 0), (0, 0, 255), (0, 255, 0)
+    base = np.zeros((8, 8, 3), np.uint8)
+    base[:, :] = RED
+    patch = np.zeros((4, 4, 3), np.uint8)                 # blue/green checker
+    patch[:, :] = BLUE
+    patch[::2, ::2] = GREEN                               # green → transparent
+    tail = np.zeros((2, 2, 3), np.uint8)                  # tiny last frame
+
+    data = encode_gif(
+        [base, patch, tail],
+        [50, 50, 50],
+        offsets=[(0, 0), (2, 2), (6, 6)],
+        transparent=[None, GREEN, None],
+        disposals=[1, 3, 1],                              # 3: restore previous
+        canvas_size=(8, 8),
+    )
+    frames, _ = decode_gif(data)
+    # frame 1: red canvas, blue checker at (2,2), red shows through green
+    exp1 = base.copy()
+    reg = exp1[2:6, 2:6]
+    mask = np.ones((4, 4), bool)
+    mask[::2, ::2] = False                                # transparent cells
+    reg[mask] = BLUE
+    np.testing.assert_array_equal(frames[1], exp1)
+    # frame 2: disposal 3 on the patch restored the red canvas first
+    exp2 = base.copy()
+    exp2[6:8, 6:8] = 0
+    np.testing.assert_array_equal(frames[2], exp2)
+
+
+def test_gif_disposal_background():
+    from deduplicator_go_ray.functions.video import decode_gif, encode_gif
+
+    A = (10, 20, 30)
+    B = (200, 100, 0)
+    f0 = np.zeros((4, 4, 3), np.uint8)
+    f0[:, :] = A
+    f1 = np.zeros((2, 2, 3), np.uint8)
+    f1[:, :] = B
+    data = encode_gif([f0, f1, f1], [10, 10, 10],
+                      offsets=[(0, 0), (1, 1), (0, 0)],
+                      disposals=[1, 2, 1], canvas_size=(4, 4))
+    frames, _ = decode_gif(data)
+    # disposal 2 restored frame 1's region to the background (palette
+    # entry 0 = lexicographically-smallest color = A here)
+    assert tuple(frames[2][2, 2]) == A
+    assert tuple(frames[2][0, 0]) == B
+
+
+def test_frame_sampling_real_gif(ray_session):
+    # the real frame sampler reads ACTUAL frames and ACTUAL delays;
+    # non-GIF payloads surface as one in-band DECODE_ERROR row
+    from deduplicator_go_ray.functions.image import luma_grid_features
+    from deduplicator_go_ray.functions.video import encode_gif
+
+    levels = [0, 36, 72, 108, 144, 180, 216, 252]
+    frames = np.stack([np.full((16, 16, 3), v, np.uint8) for v in levels])
+    gif = encode_gif(frames, [100] * 8)
+    tbl = pa.table({
+        "media_id": pa.array(["vid0", "junk"], pa.string()),
+        "kind": pa.array(["video", "video"], pa.string()),
+        "payload": pa.array([gif, b"not a gif"], pa.binary()),
+        "duration_ms": pa.array([800, 800], pa.int32()),
+    })
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(FrameSampleStage, concurrency=1, batch_size=8,
+                        fn_constructor_kwargs={"decoder": "real"},
+                        batch_format="pyarrow")
+           .to_pandas())
+    bad = out[out["media_id"] == "junk"]
+    assert list(bad["error"]) == ["DECODE_ERROR"]
+    assert list(bad["frame_offset_ms"]) == [-1]
+    good = out[out["media_id"] == "vid0"].sort_values("frame_offset_ms")
+    # picks = frames 0,2,4,6 of 8 → cumulative-delay offsets
+    assert list(good["frame_offset_ms"]) == [0, 200, 400, 600]
+    for off, feat in zip(good["frame_offset_ms"], good["features"]):
+        expect = luma_grid_features(frames[off // 100], grid=8)
+        np.testing.assert_allclose(np.array(feat), expect, atol=1e-6)
+
+
+def test_media_dedup_pairs_on_real_gif(ray_session):
+    # video near-dups under the real decoder: identical + one-frame-
+    # nudged animations pair, a reversed animation stays apart
+    from deduplicator_go_ray.functions.video import encode_gif
+    from deduplicator_go_ray.stages.multimodal import media_dedup_by_feature
+
+    rng = np.random.default_rng(29)
+    frames = rng.integers(0, 5, (4, 24, 24), dtype=np.uint8) * 50
+    frames = np.stack([np.stack([f, f, f], axis=-1) for f in frames])
+    near = frames.copy()
+    near[0, 0, 0] = np.minimum(near[0, 0, 0] + 10, 250)   # one-cell nudge
+    anti = 250 - frames                                   # inverted luma
+    rows = {
+        "v_dup1": encode_gif(frames), "v_dup2": encode_gif(frames),
+        "v_near": encode_gif(near), "w_anti": encode_gif(anti),
+    }
+    tbl = pa.table({
+        "media_id": pa.array(sorted(rows), pa.string()),
+        "kind": pa.array(["video"] * len(rows), pa.string()),
+        "payload": pa.array([rows[k] for k in sorted(rows)], pa.binary()),
+    })
+    for method in ("exact", "lsh"):
+        pairs = media_dedup_by_feature(
+            ray.data.from_arrow(tbl), threshold=0.98, method=method,
+            decoder="real").to_pandas()
+        got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+        assert ("v_dup1", "v_dup2") in got
+        assert ("v_dup1", "v_near") in got and ("v_dup2", "v_near") in got
+        assert not any("w_anti" in p for p in got)
