@@ -145,3 +145,28 @@ def test_simhash_bit_sums_equals_unpackbits(lengths, seed):
                          bitorder="little")
     naive = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
     assert np.array_equal(naive, simhash_bit_sums(flat, lens))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=4),     # frames
+       st.integers(min_value=1, max_value=24),    # height
+       st.integers(min_value=1, max_value=24),    # width
+       st.integers(min_value=1, max_value=40),    # palette colors
+       st.booleans(),                             # interlace
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_roundtrip_random(n, h, w, ncol, interlace, seed):
+    """Any full-frame opaque animation survives encode→decode
+    byte-exactly — LZW clear-code runs, width bumps near palette-size
+    boundaries, and the interlace row permutation included."""
+    import numpy as np
+
+    from deduplicator_go_ray.functions.video import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (n, h, w))
+    frames = palette[idx]
+    got, durs = decode_gif(encode_gif(frames, [10 * (i + 1) for i in range(n)],
+                                      interlace=interlace))
+    np.testing.assert_array_equal(got, frames)
+    assert durs.tolist() == [10 * (i + 1) for i in range(n)]
