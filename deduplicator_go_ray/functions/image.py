@@ -71,22 +71,35 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = cur
         elif f == 2:                                 # Up
             rec = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):                         # Sub / Average / Paeth
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0    # left (reconstructed)
-                b = prev[x]                          # up
-                if f == 1:
-                    rec[x] = (cur[x] + a) & 0xFF
-                elif f == 3:
-                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 1:                                 # Sub — vectorized:
+            # rec[x] = (cur[x] + rec[x-ch]) & 0xFF is a per-channel-lane
+            # cumulative sum mod 256 (uint8 accumulate wraps naturally)
+            rec = np.add.accumulate(
+                lines[y].reshape(w, ch), axis=0,
+                dtype=np.uint8).reshape(stride).astype(np.int32)
+        elif f in (3, 4):                            # Average / Paeth:
+            # sequential in x by construction (left operand is the
+            # reconstructed pixel), but vector over the channel lanes —
+            # a w-length loop, not w*ch
+            cur2 = cur.reshape(w, ch)
+            prev2 = prev.reshape(w, ch)
+            rec2 = np.zeros((w, ch), np.int32)
+            a = np.zeros(ch, np.int32)               # left (reconstructed)
+            c = np.zeros(ch, np.int32)               # upper-left
+            for x in range(w):
+                b = prev2[x]                         # up
+                if f == 3:
+                    r = (cur2[x] + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = prev[x - ch] if x >= ch else 0
                     p = a + b - c
-                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa_ <= pb and pa_ <= pc) else (
-                        b if pb <= pc else c)
-                    rec[x] = (cur[x] + pred) & 0xFF
+                    pa_, pb, pc = (np.abs(p - a), np.abs(p - b),
+                                   np.abs(p - c))
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                    r = (cur2[x] + pred) & 0xFF
+                rec2[x] = r
+                a, c = r, b
+            rec = rec2.reshape(stride)
         else:
             raise ValueError(f"bad filter type {f}")
         out[y] = rec.astype(np.uint8)

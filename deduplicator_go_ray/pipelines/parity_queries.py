@@ -588,8 +588,15 @@ def upgrade_signatures_q(sf_dir: str) -> pa.Table:
             "text": t["text"],
         })
 
-    reps = add_content_key(
-        docs.map_batches(to_pages, batch_format="pyarrow")).materialize()
+    # one row per CONTENT KEY (min url as representative) —
+    # incremental_signatures' contract; feeding per-document rows would
+    # double-persist duplicated texts and count upgrades per row while
+    # the oracle counts DISTINCT text
+    reps = grouped_apply(
+        add_content_key(docs.map_batches(to_pages, batch_format="pyarrow")),
+        ["text_sha256"],
+        lambda df: df.sort_values("url").drop_duplicates(["text_sha256"]),
+    ).materialize()
 
     v1 = {"compute_anchors": True}
     v2 = {"minhash": _MH(shingle_k=7), "compute_anchors": True}

@@ -43,13 +43,25 @@ _CONTENT_TYPES = (b"response", b"resource")
 
 def _gunzip_members(raw: bytes) -> bytes:
     """Decompress concatenated gzip members (the .warc.gz layout: one
-    member per record) into one byte string."""
+    member per record) into one byte string.
+
+    Trailing non-gzip bytes after at least one valid member (zero
+    padding, a truncated final member from an interrupted transfer) are
+    tolerated — the record parser one layer up already tolerates
+    trailing junk, and failing the whole shard task for a damaged tail
+    would be inconsistent with it.  A stream whose FIRST member is
+    invalid still raises (the file simply is not gzip)."""
     out = []
     pos = 0
     n = len(raw)
     while pos < n:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(raw[pos:]))
+        try:
+            out.append(d.decompress(raw[pos:]))
+        except zlib.error:
+            if not out:
+                raise
+            break
         tail = d.unused_data
         if not tail:
             break
@@ -159,15 +171,29 @@ def warc_file_to_table(path_or_bytes, *, is_gzip: bool | None = None
     })
 
 
-def read_warc(path: str) -> "object":
-    """Ray Dataset of canonical pages from a WARC file / shard
-    directory.  One task per shard file (the Common-Crawl unit of
+def read_warc(path: str, base_dir: str | None = None) -> "object":
+    """Ray Dataset of canonical pages from a WARC file, shard
+    directory, or ``warc.paths[.gz]`` manifest (the Common Crawl
+    convention: one shard path per line, resolved against ``base_dir``
+    — default: the manifest's own directory — unless already absolute
+    or a URI).  One task per shard file (the Common-Crawl unit of
     parallelism); output batches are normalized by the shared pages
     normalizer so downstream stages see the same schema as
     Parquet/JSONL/CSV ingest."""
     import ray.data
 
-    if os.path.isdir(path):
+    low = path.lower()
+    if low.endswith((".paths", ".paths.gz")):
+        import gzip as _gz
+
+        opener = _gz.open if low.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        root = base_dir if base_dir is not None else os.path.dirname(
+            os.path.abspath(path))
+        files = [ln if (os.path.isabs(ln) or "://" in ln)
+                 else os.path.join(root, ln) for ln in lines]
+    elif os.path.isdir(path):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
             if f.lower().endswith((".warc", ".warc.gz")))
@@ -176,12 +202,28 @@ def read_warc(path: str) -> "object":
     if not files:
         raise ValueError(f"no .warc/.warc.gz files under {path!r}")
 
-    # read_binary_files: one block per shard, bytes untouched; the
-    # parse runs distributed in the map stage
-    ds = ray.data.read_binary_files(files)
+    # one block per shard path; each task reads ITS shard's raw bytes
+    # and parses in place.  Not read_binary_files: that API force-infers
+    # gzip from the .gz extension with no opt-out, and Arrow's stream
+    # decoder fails the whole shard on a padded/truncated tail — the
+    # shard parser owns decompression (_gunzip_members tolerates
+    # damaged tails after the first valid member).
+    ds = ray.data.from_items([{"path": p} for p in files],
+                             override_num_blocks=len(files))
 
     def parse(t: pa.Table) -> pa.Table:
-        tabs = [warc_file_to_table(b.as_py()) for b in t["bytes"]]
+        tabs = []
+        for p in t["path"].to_pylist():
+            if "://" in p:                      # non-local shard store
+                from pyarrow.fs import FileSystem
+
+                fs, rel = FileSystem.from_uri(p)
+                with fs.open_input_stream(rel, compression=None) as f:
+                    raw = f.readall()
+            else:
+                with open(p, "rb") as f:
+                    raw = f.read()
+            tabs.append(warc_file_to_table(raw))
         return (pa.concat_tables(tabs) if tabs
                 else warc_file_to_table(b""))
 

@@ -85,11 +85,18 @@ def uid_arrow(arr: np.ndarray) -> pa.Array:
     """Arrow array for a uid ndarray of either width (int64 or bytes)."""
     if arr.dtype == np.int64:
         return pa.array(arr, pa.int64())
-    return pa.array(arr.tolist(), pa.binary(16))
+    return pa.array(arr.tolist(), pa.binary())
 
 
 def uid_pa_type(bits: int) -> pa.DataType:
-    return pa.int64() if bits == 64 else pa.binary(16)
+    """Canonical Arrow type per uid width.  128-bit uids are VARIABLE
+    binary, not fixed_size_binary(16): pandas→Arrow block emission
+    (grouped_apply partitions) infers variable binary for object bytes,
+    so a fixed-size empty_result/constructed block would mix two
+    schemas for the same column in one dataset (the RefBundle
+    schema-divergence cascade).  One canonical type everywhere;
+    ``_uid_cast`` normalizes any stray fixed-size input."""
+    return pa.int64() if bits == 64 else pa.binary()
 
 
 def uid_np(col, bits: int = 64) -> np.ndarray:
@@ -604,7 +611,10 @@ def semi_filter_by_uid_refs(
             usable = [t for t in tables if len(t)]
             arrs = [uid_np(t["uid"], _uid_bits_of(t["uid"]))
                     for t in usable]
-            hit = (np.sort(np.concatenate(arrs)) if arrs
+            # unique, not sort — per-occurrence uid tables (edge
+            # endpoints) dedupe to a several-times-smaller per-worker
+            # cache; membership probes are unaffected
+            hit = (np.unique(np.concatenate(arrs)) if arrs
                    else np.empty(0, dtype=np.int64))
             _cache_put(key, hit)
         return hit
@@ -905,7 +915,10 @@ def _filter_payload_by_uid_refs(
                 usable = [t for t in usable if len(t)]
             arrs = [uid_np(t["uid"], _uid_bits_of(t["uid"]))
                     for t in usable]
-            hit = (np.sort(np.concatenate(arrs)) if arrs
+            # unique, not sort: the endpoint table has one row per edge
+            # OCCURRENCE (measured ~3.7× the unique endpoint count), and
+            # this array is cached in EVERY worker process
+            hit = (np.unique(np.concatenate(arrs)) if arrs
                    else np.empty(0, dtype=np.int64))
             _cache_put(key, hit)
         return hit

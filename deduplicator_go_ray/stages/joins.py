@@ -246,8 +246,13 @@ def broadcast_lookup(
         # object-dtype keys (128-bit uid bytes): dict fallback below
         mapping = dict(zip(mapping[0].tolist(), mapping[1].tolist()))
         arr_pair = False
+    int_default = default is None or isinstance(default, (int, np.integer))
+    if arr_pair and not int_default:
+        # a non-integer default can't ride the int64 probe arrays
+        mapping = dict(zip(mapping[0].tolist(), mapping[1].tolist()))
+        arr_pair = False
     int_fast = arr_pair or (
-        default is None and len(mapping)
+        int_default and len(mapping)
         and all(isinstance(k, (int, np.integer)) for k in mapping)
         and all(isinstance(v, (int, np.integer))
                 for v in mapping.values()))
@@ -274,7 +279,11 @@ def broadcast_lookup(
             hitm = ks_s[pos] == q
             vals = vs_s[pos]
             typ = out_type if out_type is not None else pa.int64()
-            arr = pa.array(vals, typ, mask=~hitm)
+            if default is None:
+                arr = pa.array(vals, typ, mask=~hitm)
+            else:                       # misses take the default, as the
+                arr = pa.array(         # dict plan documents — not null
+                    np.where(hitm, vals, np.int64(default)), typ)
             return batch.append_column(out_col, arr)
 
         return ds.map_batches(f_int, batch_format="pyarrow")

@@ -312,7 +312,7 @@ def prune_checkpoint(
         if hit is None:
             tables = _ray.get(list(refs))
             arrs = [np.asarray(t["uid"], np.int64) for t in tables if len(t)]
-            hit = (np.sort(np.concatenate(arrs)) if arrs
+            hit = (np.unique(np.concatenate(arrs)) if arrs
                    else np.empty(0, np.int64))
             _UID_CACHE[key] = hit
         return hit

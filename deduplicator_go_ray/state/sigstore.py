@@ -320,24 +320,43 @@ def incremental_signatures(
     store = None
     fits = False
     if _store_files(store_dir):
+        import pyarrow.parquet as pq
+
         _check_meta(store_dir, num_perms, compute_anchors)
-        # explicit file list: the meta sidecar lives in the same dir
-        store = ray.data.read_parquet(
-            [os.path.join(store_dir, f) for f in _store_files(store_dir)])
-        names = store.schema().names or []
-        has_anchors = "anchors_blob" in names
+        # classify files by FOOTER, per file, on the driver (metadata
+        # only — no data read).  Deciding from the unified dataset
+        # schema would be wrong for a MIXED store (legacy files from a
+        # pre-fingerprint run + versioned files appended later): schema
+        # inference could miss sig_version depending on file-listing
+        # order and silently skip the version filter, reusing
+        # signatures computed under a different config.
+        versioned, legacy = [], []
+        names = None
+        for f in _store_files(store_dir):
+            p = os.path.join(store_dir, f)
+            fnames = pq.ParquetFile(p).schema_arrow.names
+            names = names or fnames
+            (versioned if "sig_version" in fnames else legacy).append(p)
+        has_anchors = "anchors_blob" in (names or [])
         if has_anchors != bool(compute_anchors):
             raise ValueError(
                 "signature store anchors setting does not match this "
                 "run's config — a store is bound to one signature config")
         # membership is (sha, sig_version): rows persisted under a
         # different config/kernel fingerprint are invisible and their
-        # shas re-enter the work set.  Legacy stores (no version
+        # shas re-enter the work set.  Legacy files (no version
         # column) predate the fingerprint and were only readable under
         # the meta hard-check above — trusted as current one time;
         # upgrade_signatures migrates them properly.
-        if "sig_version" in names:
-            store = store.filter(expr=f"sig_version == {ver}")
+        parts = []
+        if versioned:
+            parts.append(
+                ray.data.read_parquet(versioned)
+                .filter(expr=f"sig_version == {ver}")
+                .drop_columns(["sig_version"]))
+        if legacy:
+            parts.append(ray.data.read_parquet(legacy))
+        store = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
         budget = (STORE_BROADCAST_MAX_BYTES if broadcast_max_bytes is None
                   else broadcast_max_bytes)
         from ..stages.common import per_node_object_store_bytes
@@ -711,7 +730,7 @@ def prune_store(store_dir: str,
         keys = _WIRE_CACHE.get(ck)
         if keys is None:
             tables = [x for x in ray.get(list(refs)) if len(x)]
-            arr = (np.sort(np.concatenate(
+            arr = (np.unique(np.concatenate(
                        [_sha_np(x[key_col]) for x in tables]))
                    if tables else np.empty(0, dtype="S64"))
             keys = bounded_cache_put(_WIRE_CACHE, ck, arr)

@@ -66,3 +66,25 @@ def test_broadcast_semi_filter_empty_keys(ray_session):
     assert broadcast_semi_filter(ds, "k", set(), anti=True).count() == 3
     # int-typed key column takes the same path
     assert broadcast_semi_filter(ds, "v", set()).count() == 0
+
+
+def test_broadcast_lookup_pair_mapping_honors_default(ray_session):
+    """The (keys, values) numpy-pair fast path must fill misses with
+    ``default`` exactly like the documented dict plan — not nulls."""
+    import ray.data
+
+    from deduplicator_go_ray.stages.joins import broadcast_lookup
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64())}))
+    pair = (np.array([2, 4], np.int64), np.array([20, 40], np.int64))
+    out = broadcast_lookup(ds, "k", pair, "v", default=-1).to_pandas()
+    assert out.sort_values("k")["v"].tolist() == [-1, 20, -1, 40]
+    # dict plan agreement on the same inputs
+    out2 = broadcast_lookup(ds, "k", {2: 20, 4: 40}, "v",
+                            default=-1).to_pandas()
+    assert out2.sort_values("k")["v"].tolist() == [-1, 20, -1, 40]
+    # default=None keeps the null-on-miss contract
+    out3 = broadcast_lookup(ds, "k", pair, "v").to_pandas()
+    assert out3.sort_values("k")["v"].isna().tolist() == [
+        True, False, True, False]

@@ -281,3 +281,65 @@ def test_sigstore_version_upgrade(ray_session, tmp_path, corpus):
     assert report2["unchanged"] == len(corpus)
     assert report2["superseded_files"] == 0
     assert _frame(sigs2).equals(_fresh_cfg(pages, v2_kwargs))
+
+
+def test_mixed_legacy_and_versioned_store_version_filter(
+        ray_session, tmp_path, corpus):
+    """A MIXED store (pre-fingerprint legacy files + versioned files)
+    must still apply the version filter to the versioned rows: the
+    classification is per-file from the parquet footer, never from the
+    unified dataset schema (whose inference order is arbitrary)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deduplicator_go_ray.config import MinHashConfig
+
+    store = str(tmp_path / "sigstore")
+    keys = sorted(corpus)
+    A = {k: corpus[k] for k in keys[:20]}
+    v1 = {"minhash": MinHashConfig(seed=1)}
+    v2 = {"minhash": MinHashConfig(seed=2)}
+
+    incremental_signatures(_pages(A), store, sig_kwargs=v1)
+    # strip sig_version from run 1's files → legacy (pre-fingerprint)
+    for f in os.listdir(store):
+        if f.endswith(".parquet"):
+            p = os.path.join(store, f)
+            t = pq.read_table(p)
+            if "sig_version" in t.schema.names:
+                pq.write_table(t.drop_columns(["sig_version"]), p)
+
+    # append the rest under v1 → mixed legacy + versioned-v1 store
+    s1, n1 = incremental_signatures(_pages(corpus), store, sig_kwargs=v1)
+    assert n1 == len(corpus) - len(A)
+
+    # run under v2: the versioned-v1 rows are invisible (recompute);
+    # the legacy rows are trusted-as-current one time, by contract
+    s2, n2 = incremental_signatures(_pages(corpus), store, sig_kwargs=v2)
+    assert n2 == len(corpus) - len(A)
+
+    # and the scale-twin (keyed) plan agrees on the same mixed store
+    s3, n3 = incremental_signatures(_pages(corpus), store, sig_kwargs=v2,
+                                    broadcast_max_bytes=0)
+    assert n3 == 0      # v2 rows were just persisted; legacy still trusted
+
+
+def test_upgrade_query_counts_distinct_texts(ray_session, tmp_path):
+    """Duplicated document texts must count ONCE per distinct text in
+    the upgrade/resume accounting (the oracle's COUNT(DISTINCT text)),
+    and must not double-persist their content key in the store."""
+    import pyarrow.parquet as pq
+
+    from deduplicator_go_ray.pipelines.parity_queries import (
+        upgrade_signatures_q)
+
+    texts = ["alpha doc " * 20, "beta doc " * 20, "alpha doc " * 20]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = upgrade_signatures_q(str(tmp_path)).to_pandas().set_index("phase")
+    assert out.loc["upgrade", "n_upgraded"] == 2      # distinct texts
+    assert out.loc["resume", "n_unchanged"] == 2
+    assert out.loc["upgrade", "n_failed"] == 0
