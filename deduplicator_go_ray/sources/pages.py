@@ -47,6 +47,10 @@ def _ext_format(name: str) -> str | None:
         return "parquet"
     if ext == "warc":
         return "warc"
+    if ext == "paths":
+        # Common Crawl's shard manifest convention (warc.paths[.gz]):
+        # one WARC shard path per line
+        return "warc"
     return None
 
 

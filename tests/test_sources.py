@@ -349,3 +349,55 @@ def test_flagship_runs_on_warc_fixture(ray_session, tmp_path):
     assert cl["https://uniq.example.org/"] != cl["https://dup1.example.org/"]
     keep = out[out["action"] == "keep"]["url"].tolist()
     assert "https://uniq.example.org/" in keep
+
+
+def test_warc_gz_tolerates_trailing_junk(ray_session, tmp_path):
+    """A .warc.gz shard with trailing zero-padding (interrupted
+    transfer / padded tooling) must still yield its valid records
+    instead of failing the whole shard task."""
+    from deduplicator_go_ray.sources.warc import (read_warc,
+                                                  warc_file_to_table,
+                                                  write_warc)
+
+    p = str(tmp_path / "shard.warc.gz")
+    write_warc(p, [("http://e.x/a", "2017-10-24T12:30:45Z", b"<p>A</p>"),
+                   ("http://e.x/b", "2017-10-24T12:30:46Z", b"<p>B</p>")],
+               gzip_members=True)
+    with open(p, "ab") as f:
+        f.write(b"\x00" * 512)
+    t = warc_file_to_table(p)
+    assert t["url"].to_pylist() == ["http://e.x/a", "http://e.x/b"]
+    assert read_warc(p).count() == 2
+    # a file that is not gzip at all still raises at parse time
+    bad = str(tmp_path / "bad.warc.gz")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 64)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        warc_file_to_table(bad)
+
+
+def test_warc_paths_manifest(ray_session, tmp_path):
+    """Common Crawl's warc.paths manifest: one shard path per line,
+    relative lines resolved against the manifest's directory."""
+    import gzip
+
+    from deduplicator_go_ray.sources.warc import read_warc, write_warc
+
+    (tmp_path / "segments").mkdir()
+    write_warc(str(tmp_path / "segments" / "s0.warc"),
+               [("http://e.x/a", "2017-10-24T12:30:45Z", b"<p>A</p>")])
+    write_warc(str(tmp_path / "segments" / "s1.warc.gz"),
+               [("http://e.x/b", "2017-10-24T12:30:46Z", b"<p>B</p>")],
+               gzip_members=True)
+    man = tmp_path / "warc.paths"
+    man.write_text("segments/s0.warc\nsegments/s1.warc.gz\n")
+    got = sorted(read_warc(str(man)).to_pandas()["url"])
+    assert got == ["http://e.x/a", "http://e.x/b"]
+    # gzipped manifest, and read_pages format inference both work
+    man_gz = tmp_path / "warc.paths.gz"
+    man_gz.write_bytes(gzip.compress(man.read_bytes()))
+    assert read_warc(str(man_gz)).count() == 2
+    from deduplicator_go_ray.sources.pages import _infer_format, read_pages
+    assert _infer_format(str(man)) == "warc"
+    assert read_pages(str(man)).count() == 2
