@@ -77,6 +77,17 @@ def checkpointed_write(
     partition writes — the crash-injection hook the resume tests use.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # sweep tmp orphans from a crashed prior run: their partition was
+    # never renamed, so it is NOT in the done set and will be rewritten
+    # this run — a stale tmp is pure garbage (and, were it not
+    # dot-hidden, read_parquet over the dir would ingest it as
+    # duplicate rows)
+    for name in os.listdir(out_dir):
+        if ".tmp." in name:
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except OSError:
+                pass
     done = done_partitions(out_dir)
     with_pid = (ds if "partition_id" in (ds.schema().names or [])
                 else add_partition_id(ds, num_partitions, url_col))
@@ -90,8 +101,6 @@ def checkpointed_write(
 
         todo = with_pid.map_batches(drop_done, batch_format="pyarrow")
 
-    counter_path = os.path.join(out_dir, ".written_this_run")
-
     def write_part(df: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         frames = []
@@ -104,7 +113,12 @@ def checkpointed_write(
                     raise RuntimeError(f"injected failure after {fail_after} partitions")
             g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
             final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-            tmp = final + f".tmp.{os.getpid()}"
+            # dot-prefixed tmp: hidden from done_partitions AND from
+            # parquet dataset discovery (ignore_prefixes ['.', '_']),
+            # so a crash-orphaned tmp can never surface as duplicate
+            # rows in read_checkpoint
+            tmp = os.path.join(
+                out_dir, f".part-{pid:05d}.tmp.{os.getpid()}")
             tbl = pa.Table.from_pandas(g, preserve_index=False)
             # an all-None column infers as null type, which poisons the
             # multi-file dataset schema — pin such columns to string
@@ -253,11 +267,15 @@ def incremental_hash(
         # rewrite of its partition iff it was counted done (skipped);
         # done_uid_sorted from the scan above is exactly that set
         affected_arr = np.array(sorted(affected), dtype=np.int64)
+        # ship the done set through the object store (one plasma copy
+        # per node), not inside every task's closure
+        done_set_ref = ray.put(done_uid_sorted)
 
         def keep_affected_done(t: pa.Table) -> pa.Table:
+            done_arr = ray.get(done_set_ref)
             pid = np.asarray(t["partition_id"], dtype=np.int64)
             keep = (np.isin(pid, affected_arr)
-                    & np.isin(uid_of_urls(t["url"]), done_uid_sorted))
+                    & np.isin(uid_of_urls(t["url"]), done_arr))
             return t.filter(pa.array(keep))
 
         # materialize BEFORE deleting the stale files — the read is lazy

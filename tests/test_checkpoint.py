@@ -200,3 +200,31 @@ def test_prune_checkpoint_liveness(pages_tbl, tmp_path, ray_session):
     # idempotent: a second prune with the same listing rewrites nothing
     m2 = prune_checkpoint(out, ray.data.from_arrow(live))
     assert len(m2) == 0
+
+
+def test_orphaned_tmp_files_never_surface(pages_tbl, tmp_path, ray_session):
+    """A crash can strand a written-but-unrenamed tmp file.  It must be
+    (a) invisible to read_checkpoint — dot-prefixed, outside parquet
+    dataset discovery — and (b) swept by the next checkpointed_write,
+    never surfacing as duplicate or corrupt rows on resume."""
+    import pyarrow.parquet as pq
+
+    from deduplicator_go_ray.state.checkpoint import (checkpointed_write,
+                                                      read_checkpoint)
+
+    out = str(tmp_path / "ckpt")
+    ds = ray.data.from_arrow(pages_tbl)
+    checkpointed_write(ds, out, num_partitions=P, stage="t")
+    n = read_checkpoint(out).count()
+    assert n == pages_tbl.num_rows
+
+    # plant both orphan shapes: a COMPLETE unrenamed tmp (duplicate
+    # rows if ever read) and a truncated one (parse error if ever read)
+    dup = pq.read_table(os.path.join(out, "part-00000.parquet"))
+    pq.write_table(dup, os.path.join(out, ".part-00000.tmp.99999"))
+    with open(os.path.join(out, ".part-00001.tmp.99998"), "wb") as f:
+        f.write(b"PAR1garbage")
+    assert read_checkpoint(out).count() == n          # invisible
+    checkpointed_write(ds, out, num_partitions=P, stage="t")   # resume
+    assert not [x for x in os.listdir(out) if ".tmp." in x]    # swept
+    assert read_checkpoint(out).count() == n
