@@ -358,6 +358,17 @@ def run_dedup(
     n_reps = sigs.count()
     timer.note("n_reps", n_reps)
 
+    # size-aware uid width (VERDICT r3 #1): with uid_bits unset the
+    # collision-safe width self-selects from the rep count — 64-bit
+    # int uids below uid_auto_threshold, 16-byte uids at/above it.
+    # Resolved HERE (first point the count exists, before any uid is
+    # minted); everything downstream reads the resolved cfg.
+    if cfg.uid_bits is None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, uid_bits=cfg.resolved_uid_bits(n_reps))
+        timer.note("uid_bits", cfg.uid_bits)
+
     # Speculatively launch the shared verify-index builds NOW (sigs and
     # reps are materialized) so the single 1-cpu gather+sort tasks
     # overlap the candidate shuffle instead of serializing after it —

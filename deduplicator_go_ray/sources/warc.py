@@ -41,17 +41,23 @@ _CRLF2 = b"\r\n\r\n"
 _CONTENT_TYPES = (b"response", b"resource")
 
 
-def _gunzip_members(raw: bytes) -> bytes:
+def _gunzip_members(raw: bytes) -> tuple[bytes, int]:
     """Decompress concatenated gzip members (the .warc.gz layout: one
-    member per record) into one byte string.
+    member per record) into one byte string.  Returns
+    ``(decompressed, dropped_bytes)``.
 
-    Trailing non-gzip bytes after at least one valid member (zero
-    padding, a truncated final member from an interrupted transfer) are
-    tolerated — the record parser one layer up already tolerates
-    trailing junk, and failing the whole shard task for a damaged tail
-    would be inconsistent with it.  A stream whose FIRST member is
-    invalid still raises (the file simply is not gzip)."""
+    A corrupt member anywhere in the stream does NOT lose the rest of
+    the shard: the decoder resyncs to the next gzip magic
+    (``1f 8b 08``) and keeps going, counting the skipped compressed
+    bytes so callers can surface the loss (ADVICE r3 #1 — the old code
+    silently dropped every record after the first mid-stream
+    ``zlib.error``).  Trailing non-gzip bytes after at least one valid
+    member (zero padding, a truncated final member from an interrupted
+    transfer) are tolerated the same way — counted as dropped, never a
+    crash.  A stream whose FIRST member is invalid with no later resync
+    point still raises (the file simply is not gzip)."""
     out = []
+    dropped = 0
     pos = 0
     n = len(raw)
     while pos < n:
@@ -59,14 +65,27 @@ def _gunzip_members(raw: bytes) -> bytes:
         try:
             out.append(d.decompress(raw[pos:]))
         except zlib.error:
-            if not out:
-                raise
-            break
+            # resync past the damaged member: next gzip member magic
+            nxt = raw.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                if not out:
+                    raise
+                dropped += n - pos
+                break
+            dropped += nxt - pos
+            pos = nxt
+            continue
         tail = d.unused_data
         if not tail:
+            # a member that decompressed but consumed nothing (e.g. an
+            # empty trailing stub) would loop forever without this
             break
-        pos = n - len(tail)
-    return b"".join(out)
+        new_pos = n - len(tail)
+        if new_pos <= pos:
+            dropped += n - pos
+            break
+        pos = new_pos
+    return b"".join(out), dropped
 
 
 def _parse_headers(block: bytes) -> dict[bytes, bytes]:
@@ -151,7 +170,14 @@ def warc_file_to_table(path_or_bytes, *, is_gzip: bool | None = None
         gz = (is_gzip if is_gzip is not None
               else str(path_or_bytes).endswith(".gz"))
     if gz:
-        raw = _gunzip_members(raw)
+        raw, dropped = _gunzip_members(raw)
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"WARC shard: skipped {dropped} corrupt compressed bytes "
+                "(damaged gzip member(s) — surrounding records recovered)",
+                stacklevel=2)
     urls, dates, htmls = [], [], []
     for u, d, h in parse_warc_records(raw):
         urls.append(u)
@@ -186,13 +212,30 @@ def read_warc(path: str, base_dir: str | None = None) -> "object":
     if low.endswith((".paths", ".paths.gz")):
         import gzip as _gz
 
-        opener = _gz.open if low.endswith(".gz") else open
-        with opener(path, "rt") as f:
-            lines = [ln.strip() for ln in f if ln.strip()]
-        root = base_dir if base_dir is not None else os.path.dirname(
-            os.path.abspath(path))
+        # the manifest may itself live on a remote store (the natural
+        # Common Crawl shape) — route URIs through pyarrow.fs exactly
+        # like the shard reads (ADVICE r3 #4)
+        if "://" in path:
+            from pyarrow.fs import FileSystem
+
+            fs, rel = FileSystem.from_uri(path)
+            with fs.open_input_stream(rel, compression=None) as f:
+                raw = f.readall()
+            if low.endswith(".gz"):
+                raw, _ = _gunzip_members(raw)
+            text = raw.decode("utf-8")
+            root = (base_dir if base_dir is not None
+                    else path.rsplit("/", 1)[0])
+        else:
+            opener = _gz.open if low.endswith(".gz") else open
+            with opener(path, "rt") as f:
+                text = f.read()
+            root = base_dir if base_dir is not None else os.path.dirname(
+                os.path.abspath(path))
+        lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
         files = [ln if (os.path.isabs(ln) or "://" in ln)
-                 else os.path.join(root, ln) for ln in lines]
+                 else (root + "/" + ln if "://" in root
+                       else os.path.join(root, ln)) for ln in lines]
     elif os.path.isdir(path):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path)

@@ -377,6 +377,43 @@ def test_warc_gz_tolerates_trailing_junk(ray_session, tmp_path):
         warc_file_to_table(bad)
 
 
+def test_warc_gz_recovers_after_midstream_corruption(ray_session, tmp_path):
+    """A corrupt gzip member in the MIDDLE of a shard must not lose the
+    records after it (ADVICE r3 #1): the decoder resyncs to the next
+    member magic and surfaces the dropped-byte count as a warning."""
+    import warnings
+
+    from deduplicator_go_ray.sources.warc import (_gunzip_members,
+                                                  warc_file_to_table,
+                                                  write_warc)
+
+    p = str(tmp_path / "shard.warc.gz")
+    write_warc(p, [("http://e.x/a", "2017-10-24T12:30:45Z", b"<p>A</p>"),
+                   ("http://e.x/b", "2017-10-24T12:30:46Z", b"<p>B</p>"),
+                   ("http://e.x/c", "2017-10-24T12:30:47Z", b"<p>C</p>")],
+               gzip_members=True)
+    raw = open(p, "rb").read()
+    magic = b"\x1f\x8b\x08"
+    # member start offsets
+    offs, i = [], 0
+    while True:
+        i = raw.find(magic, i)
+        if i < 0:
+            break
+        offs.append(i)
+        i += 1
+    assert len(offs) == 3
+    # replace the middle member with an invalid deflate stream
+    bad = raw[:offs[1]] + magic + b"\xff" * 24 + raw[offs[2]:]
+    dec, dropped = _gunzip_members(bad)
+    assert dropped > 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = warc_file_to_table(bad, is_gzip=True)
+    assert t["url"].to_pylist() == ["http://e.x/a", "http://e.x/c"]
+    assert any("corrupt" in str(x.message) for x in w)
+
+
 def test_warc_paths_manifest(ray_session, tmp_path):
     """Common Crawl's warc.paths manifest: one shard path per line,
     relative lines resolved against the manifest's directory."""

@@ -24,7 +24,7 @@ import bench  # noqa: E402
 
 
 def main() -> None:
-    lo = int(sys.argv[1]) if len(sys.argv) > 2 else 4
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     out = {"lo_cpus": lo, "hi_cpus": hi}
     for kind in ("mem", "alu"):
