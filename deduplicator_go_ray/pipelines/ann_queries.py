@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..stages.common import grouped_apply
+from ..stages.common import grouped_apply, list_matrix
 from .registry import register
 
 N_QUERIES = 5        # query set = vec_id 0..4
@@ -57,7 +57,7 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
     def block_topk(t: pa.Table) -> pa.Table:
         q_ids, QM = ray.get(ref)
         ids = np.asarray(t["vec_id"], dtype=np.int64)
-        B = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        B = _normalize(list_matrix(t["embedding"]))
         S = QM @ B.T                                    # (nq, block)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q_ids)):
@@ -141,7 +141,7 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pd.DataFrame:
 
     def partial_sums(t: pa.Table) -> pa.Table:
         lab = np.asarray(t["label"], dtype=np.int64)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = list_matrix(t["embedding"])
         out_lab, out_sum, out_cnt = [], [], []
         for l in np.unique(lab):
             m = lab == l
@@ -182,7 +182,7 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pd.DataFrame:
     def route(t: pa.Table) -> pa.Table:
         CM, clabels, wanted = ray.get(ref)
         ids = np.asarray(t["vec_id"], dtype=np.int64)
-        V = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        V = _normalize(list_matrix(t["embedding"]))
         cell = clabels[np.argmax(V @ CM.T, axis=1)]
         keep = np.isin(cell, wanted)
         return pa.table({
@@ -348,7 +348,7 @@ def ann_lsh_topk(sf_dir: str,
     def search(t: pa.Table) -> pa.Table:
         q_ids, QM, PL, QB = ray.get(ref)
         ids = np.asarray(t["vec_id"], dtype=np.int64)
-        V = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        V = _normalize(list_matrix(t["embedding"]))
         vsig = (np.einsum("tpd,nd->tnp", PL, V) > 0)
         vbits = (vsig << np.arange(PL.shape[1])).sum(axis=2)  # (T, n)
         # prune BEFORE scoring: only vectors sharing ≥1 bucket with ≥1

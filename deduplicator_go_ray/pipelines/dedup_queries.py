@@ -22,7 +22,7 @@ import ray.data
 
 from ..config import MinHashConfig
 from ..functions.hashing import hash64_str
-from ..stages.common import dedupe_rows, grouped_apply
+from ..stages.common import dedupe_rows, grouped_apply, list_matrix
 from ..stages.lsh import (band_rows, candidate_edges, hot_band_keys, salt_bands,
                           simhash_edges, verify_edges_smallset)
 from .registry import register
@@ -192,19 +192,28 @@ def ngram_jaccard_pairs(sf_dir: str, plan: str = "auto"):
     import ray as _ray
 
     from ..stages.buckets import _uid_index
+    from ..stages.common import sorted_probe
     from ..stages.lsh import block_refs_of
 
-    ids: set[int] = set()
-    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids.update(np.asarray(b["a"], np.int64).tolist())
-        ids.update(np.asarray(b["b"], np.int64).tolist())
-    id_arr = np.array(sorted(ids), dtype=np.int64)
-    ref = _ray.put(id_arr)
+    # candidate endpoint set: built in ONE Ray task from cand's block
+    # refs (the semi_filter_by_uid_refs pattern) — the sorted array
+    # lives in plasma and every worker maps it zero-copy; nothing is
+    # collected on the driver (VERDICT r3 #2: the old Python-set
+    # collect boxed up to 4M ints of driver heap at the gate boundary)
+    def _endpoint_ids(refs: tuple) -> np.ndarray:
+        tables = _ray.get(list(refs))
+        parts = [np.asarray(t[c], np.int64)
+                 for t in tables if len(t) for c in ("a", "b")]
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64))
+
+    ref = _ray.remote(num_cpus=1)(_endpoint_ids).remote(
+        tuple(block_refs_of(cand)))
 
     def slim(t: pa.Table) -> pa.Table:
-        wanted = _ray.get(ref)
+        wanted = _ray.get(ref)          # zero-copy plasma read
         d = np.asarray(t["doc_id"], dtype=np.int64)
-        keep = np.isin(d, wanted)
+        _, keep = sorted_probe(wanted, d)
         out = t.filter(pa.array(keep))
         return pa.table({"uid": out["doc_id"], "grams": out["grams"],
                          "n_grams": out["n_grams"]})
@@ -510,7 +519,7 @@ def _build_embedding_index(refs: tuple):
         return np.empty(0, np.int64), np.empty((0, 1), np.float64)
     tbl = pa.concat_tables(usable)
     ids = np.asarray(tbl["vec_id"], dtype=np.int64)
-    V = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    V = list_matrix(tbl["embedding"])
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     order = np.argsort(ids, kind="stable")
     return ids[order], Vn[order]
@@ -558,7 +567,7 @@ def embedding_dup_pairs(
     def block(t: pa.Table) -> pa.Table:
         all_ids, M = ray.get(ref)
         bid = np.asarray(t["vec_id"], dtype=np.int64)
-        B = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        B = list_matrix(t["embedding"])
         B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         S = B @ M.T                                     # (block, N)
         ii, jj = np.nonzero((S >= COSINE_THRESHOLD) & (bid[:, None] < all_ids[None, :]))
@@ -617,7 +626,7 @@ def embedding_dup_pairs_lsh(
     def bucket(t: pa.Table) -> pa.Table:
         n = len(t)
         ids = np.asarray(t["vec_id"], dtype=np.int64)
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = list_matrix(t["embedding"])
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         sig = np.einsum("tpd,nd->tnp", planes, V) > 0        # (T, n, P)
         bits = (sig << np.arange(n_planes)).sum(axis=2).astype(np.uint64)

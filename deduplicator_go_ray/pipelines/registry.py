@@ -26,14 +26,36 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> Non
         _ORACLES[name] = sql
 
 
+# The driver's correctness harness caps its per-round sweep at the
+# FIRST 50 registry entries (dict order).  Keep that sample the
+# highest-signal subset (VERDICT r3 #9): thin single-clause relational
+# queries are DEMOTED to the tail so the flagship and the code-heavy
+# operator families (curation, scrub, sigstore migration, media,
+# containment) always sit inside the cap.  Every entry — demoted or
+# not — still runs in the full `tools/check_oracle.py` protocol.
+_DEMOTE = (
+    "sample_head", "sample_mod", "substring_search", "age_filter",
+    "large_first", "region_customers", "lang_counts", "events_daily",
+    "min_size_groups", "prefix_dup_groups", "dup_size_groups",
+    "keep_first", "savings", "topk_groups", "dup_members",
+    "delete_plan", "prune_dead", "mirror_conflicts", "import_plan",
+    "char_classes", "stopword_stats",
+)
+
+
+def _priority_order(names) -> list[str]:
+    head = [n for n in names if n not in _DEMOTE]
+    return head + [n for n in names if n in _DEMOTE]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _priority_order(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _priority_order(_ORACLES)}
 
 
 _LOADED = False
