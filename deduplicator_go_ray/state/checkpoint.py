@@ -70,12 +70,41 @@ def checkpointed_write(
     stage: str,
     url_col: str = "url",
     fail_after: int | None = None,
+    fence: bool = True,
 ) -> pd.DataFrame:
     """Write `ds` as per-partition parquet under `out_dir`, skipping
     partitions already on disk.  Returns the metrics frame (one row per
     partition written this run).  ``fail_after`` aborts after that many
     partition writes — the crash-injection hook the resume tests use.
+
+    The whole write holds the directory's write fence
+    (``state/fence.py`` ≙ ``lock/lock.go:65-114``): a second job
+    writing the same checkpoint dir raises ``FenceHeldError`` instead
+    of racing the tmp-sweep / done-set scan below.  A crashed writer's
+    fence is reclaimed by pid-liveness or heartbeat staleness — resume
+    semantics are unchanged.  Flows that already hold the directory's
+    fence (incremental_hash, prune_checkpoint — they delete stale
+    partitions first, which must sit under the SAME hold) pass
+    ``fence=False``.
     """
+    from .fence import WriteFence
+
+    if not fence:
+        return _checkpointed_write_fenced(
+            ds, out_dir, num_partitions, stage, url_col, fail_after)
+    with WriteFence(out_dir):
+        return _checkpointed_write_fenced(
+            ds, out_dir, num_partitions, stage, url_col, fail_after)
+
+
+def _checkpointed_write_fenced(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    num_partitions: int,
+    stage: str,
+    url_col: str = "url",
+    fail_after: int | None = None,
+) -> pd.DataFrame:
     os.makedirs(out_dir, exist_ok=True)
     # sweep tmp orphans from a crashed prior run: their partition was
     # never renamed, so it is NOT in the done set and will be rewritten
@@ -282,10 +311,17 @@ def incremental_hash(
         old_affected = old.map_batches(
             keep_affected_done, batch_format="pyarrow").materialize()
         merged = with_pid.union(old_affected)
-        for pid in affected:
-            p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
-            if os.path.exists(p):
-                os.remove(p)
+        # stale-partition delete + rewrite under ONE fence hold: a
+        # second writer observing the gap would resurrect deleted rows
+        from .fence import WriteFence
+
+        with WriteFence(hashed_dir):
+            for pid in affected:
+                p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
+                if os.path.exists(p):
+                    os.remove(p)
+            return checkpointed_write(merged, hashed_dir, num_partitions,
+                                      stage="incremental_hash", fence=False)
     return checkpointed_write(merged, hashed_dir, num_partitions,
                               stage="incremental_hash")
 
@@ -367,12 +403,18 @@ def prune_checkpoint(
 
     survivors = existing.map_batches(
         keep_affected_live, batch_format="pyarrow").materialize()
-    for pid in affected_arr.tolist():
-        p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
-        if os.path.exists(p):
-            os.remove(p)
-    return checkpointed_write(survivors, hashed_dir, num_partitions,
-                              stage="prune", url_col=url_col)
+    # delete + rewrite under one fence hold (same rule as
+    # incremental_hash): no second writer may see the gap
+    from .fence import WriteFence
+
+    with WriteFence(hashed_dir):
+        for pid in affected_arr.tolist():
+            p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+        return checkpointed_write(survivors, hashed_dir, num_partitions,
+                                  stage="prune", url_col=url_col,
+                                  fence=False)
 
 
 def run_dedup_checkpointed(

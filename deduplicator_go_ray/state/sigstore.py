@@ -280,6 +280,37 @@ def incremental_signatures(
     passthrough: tuple = (),
     broadcast_max_bytes: int | None = None,
     batch_size: int = 512,
+    fence_wait: bool = False,
+) -> "tuple[ray.data.Dataset, int]":
+    """Fenced wrapper of :func:`_incremental_signatures_impl`: the
+    whole classify→probe→compute→persist flow holds the store's write
+    fence (``state/fence.py`` ≙ ``lock/lock.go:65-114``), so two jobs
+    pointed at one ``store_dir`` can no longer interleave appends —
+    the second writer raises ``FenceHeldError`` (or waits, with
+    ``fence_wait=True``) instead of corrupting the store."""
+    from .fence import WriteFence
+
+    fence = WriteFence(store_dir).acquire(wait=fence_wait)
+    try:
+        return _incremental_signatures_impl(
+            reps, store_dir, num_partitions=num_partitions,
+            compute_anchors=compute_anchors, sig_kwargs=sig_kwargs,
+            passthrough=passthrough,
+            broadcast_max_bytes=broadcast_max_bytes,
+            batch_size=batch_size)
+    finally:
+        fence.release()
+
+
+def _incremental_signatures_impl(
+    reps: "ray.data.Dataset",
+    store_dir: str,
+    num_partitions: int = 16,
+    compute_anchors: bool = True,
+    sig_kwargs: dict | None = None,
+    passthrough: tuple = (),
+    broadcast_max_bytes: int | None = None,
+    batch_size: int = 512,
 ) -> "tuple[ray.data.Dataset, int]":
     """Signatures for ``reps`` (url, text, text_sha256 — one row per
     content key, e.g. exact-class representatives), computing only rows
@@ -519,7 +550,29 @@ def upgrade_signatures(
 
     Returns ``(sigs, report)`` where report =
     ``{"upgraded": n, "unchanged": n, "failed": n, "superseded_files": n}``.
+
+    The whole migration — superseded-file removal, meta rewrite, and
+    the recompute/persist — runs under ONE write-fence hold (a second
+    writer observing a half-migrated store would re-persist stale
+    rows).
     """
+    import json
+
+    import pyarrow.parquet as pq
+
+    from .fence import WriteFence
+
+    _fence = WriteFence(store_dir).acquire()
+    try:
+        return _upgrade_signatures_fenced(
+            reps, store_dir, sig_kwargs, num_partitions, compute_anchors,
+            passthrough, batch_size)
+    finally:
+        _fence.release()
+
+
+def _upgrade_signatures_fenced(reps, store_dir, sig_kwargs, num_partitions,
+                               compute_anchors, passthrough, batch_size):
     import json
 
     import pyarrow.parquet as pq
@@ -554,7 +607,8 @@ def upgrade_signatures(
                        "sig_version": ver}, fh)
         os.replace(tmp, meta_path)
 
-    sigs, n_computed = incremental_signatures(
+    # the unfenced impl: the migration already holds the store fence
+    sigs, n_computed = _incremental_signatures_impl(
         reps, store_dir,
         num_partitions=num_partitions,
         compute_anchors=sig_kwargs["compute_anchors"],
@@ -684,12 +738,23 @@ def compact_store(store_dir: str, target_files: int = 16) -> int:
     (each run of :func:`incremental_signatures` ADDS files, and the
     warm read/combine cost grows with file count).  Atomic per the
     single-writer rule: the new files land in a sibling tmp dir which
-    is swapped in with two renames.  Returns the new file count."""
+    is swapped in with two renames.  Returns the new file count.
+    Holds the store's write fence for the whole rewrite."""
     import shutil
+
+    from .fence import WriteFence
 
     files = _store_files(store_dir)
     if len(files) <= target_files:
         return len(files)
+    with WriteFence(store_dir):
+        return _compact_store_fenced(store_dir, target_files)
+
+
+def _compact_store_fenced(store_dir: str, target_files: int) -> int:
+    import shutil
+
+    files = _store_files(store_dir)
     store = ray.data.read_parquet(
         [os.path.join(store_dir, f) for f in files])
     tmp = store_dir.rstrip("/") + ".compact_tmp"
@@ -714,8 +779,20 @@ def prune_store(store_dir: str,
     liveness half of the reference's prune flow (``files/prune.go:122,
     175-204``) applied to the near-dup tier: across snapshots, content
     that left the corpus would otherwise accumulate forever in the
-    append-only store.  Rewrites atomically like :func:`compact_store`;
-    returns the number of rows dropped."""
+    append-only store.  Rewrites atomically like :func:`compact_store`
+    and holds the store's write fence the same way; returns the number
+    of rows dropped."""
+    from .fence import WriteFence
+
+    if not _store_files(store_dir):
+        return 0
+    with WriteFence(store_dir):
+        return _prune_store_fenced(store_dir, live_keys, key_col)
+
+
+def _prune_store_fenced(store_dir: str,
+                        live_keys: "ray.data.Dataset",
+                        key_col: str) -> int:
     import shutil
 
     files = _store_files(store_dir)
