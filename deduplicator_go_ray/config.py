@@ -158,6 +158,16 @@ class PipelineConfig:
     # memory-bandwidth awareness, not task-overhead tuning.
     signature_batch_size: int = 128
     signature_concurrency: int | tuple[int, int] | None = None
+    # text-extraction slot (VERDICT r3 #5 — the multimodal ``decoder=``
+    # pattern applied to text): "deterministic" = the public-knowledge
+    # kernel (functions/text.py, the SQL-oracle twin, default); or a
+    # ``(name, factory)`` tuple where ``factory()`` is called ONCE per
+    # worker process / actor and returns an ``html -> (text,
+    # err|None)`` callable — the hook a production extractor or model
+    # rides without touching pipeline code.  ``name`` keys the
+    # per-worker stage cache, so two configs with different extractors
+    # never share a built stage.
+    extractor: "str | tuple" = "deterministic"
     # edges below this count resolve with a driver-side DSU; above it
     # the distributed label-propagation path runs (SURVEY.md §7.4).
     driver_dsu_max_edges: int = 5_000_000
@@ -270,3 +280,10 @@ class PipelineConfig:
         if self.uid_bits not in (None, 64, 128):
             raise ValueError(
                 f"uid_bits must be None (auto), 64 or 128, got {self.uid_bits}")
+        ex = self.extractor
+        if ex != "deterministic" and not (
+                isinstance(ex, tuple) and len(ex) == 2
+                and isinstance(ex[0], str) and callable(ex[1])):
+            raise ValueError(
+                "extractor must be 'deterministic' or a (name, factory) "
+                f"tuple with a callable factory, got {ex!r}")

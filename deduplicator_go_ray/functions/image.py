@@ -63,47 +63,63 @@ def decode_png(data: bytes) -> np.ndarray:
     ftypes = raw[:, 0]
     lines = raw[:, 1:]
     out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
+    prev = np.zeros(stride, np.uint8)
     for y in range(h):
         f = int(ftypes[y])
-        cur = lines[y].astype(np.int32)
         if f == 0:                                   # None
-            rec = cur
-        elif f == 2:                                 # Up
-            rec = (cur + prev) & 0xFF
+            rec = lines[y]
+        elif f == 2:                                 # Up — uint8 wraps
+            rec = lines[y] + prev
         elif f == 1:                                 # Sub — vectorized:
             # rec[x] = (cur[x] + rec[x-ch]) & 0xFF is a per-channel-lane
             # cumulative sum mod 256 (uint8 accumulate wraps naturally)
             rec = np.add.accumulate(
                 lines[y].reshape(w, ch), axis=0,
-                dtype=np.uint8).reshape(stride).astype(np.int32)
+                dtype=np.uint8).reshape(stride)
         elif f in (3, 4):                            # Average / Paeth:
-            # sequential in x by construction (left operand is the
-            # reconstructed pixel), but vector over the channel lanes —
-            # a w-length loop, not w*ch
-            cur2 = cur.reshape(w, ch)
-            prev2 = prev.reshape(w, ch)
-            rec2 = np.zeros((w, ch), np.int32)
-            a = np.zeros(ch, np.int32)               # left (reconstructed)
-            c = np.zeros(ch, np.int32)               # upper-left
-            for x in range(w):
-                b = prev2[x]                         # up
-                if f == 3:
-                    r = (cur2[x] + ((a + b) >> 1)) & 0xFF
-                else:
-                    p = a + b - c
-                    pa_, pb, pc = (np.abs(p - a), np.abs(p - b),
-                                   np.abs(p - c))
-                    pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
-                                    np.where(pb <= pc, b, c))
-                    r = (cur2[x] + pred) & 0xFF
-                rec2[x] = r
-                a, c = r, b
-            rec = rec2.reshape(stride)
+            # sequential in x by construction (the left operand is the
+            # reconstructed pixel), so no numpy kernel applies — but a
+            # flat PYTHON-INT byte loop beats the old per-pixel
+            # tiny-ndarray loop ~20× (ndarray ops on length-3 arrays
+            # cost ~µs each; int ops cost ~0.05 µs — measured in
+            # BENCH/codec_bench_r4.json)
+            rec_l = lines[y].tolist()
+            prev_l = prev.tolist()
+            if f == 3:
+                for i in range(ch):
+                    rec_l[i] = (rec_l[i] + (prev_l[i] >> 1)) & 0xFF
+                for i in range(ch, stride):
+                    rec_l[i] = (rec_l[i]
+                                + ((rec_l[i - ch] + prev_l[i]) >> 1)) & 0xFF
+            else:
+                for i in range(ch):
+                    # a = c = 0 → predictor is b (the Paeth tie rule)
+                    rec_l[i] = (rec_l[i] + prev_l[i]) & 0xFF
+                for i in range(ch, stride):
+                    a = rec_l[i - ch]
+                    b = prev_l[i]
+                    c = prev_l[i - ch]
+                    pa_ = b - c
+                    pb_ = a - c
+                    pc_ = pa_ + pb_
+                    if pa_ < 0:
+                        pa_ = -pa_
+                    if pb_ < 0:
+                        pb_ = -pb_
+                    if pc_ < 0:
+                        pc_ = -pc_
+                    if pa_ <= pb_ and pa_ <= pc_:
+                        pred = a
+                    elif pb_ <= pc_:
+                        pred = b
+                    else:
+                        pred = c
+                    rec_l[i] = (rec_l[i] + pred) & 0xFF
+            rec = np.array(rec_l, np.uint8)
         else:
             raise ValueError(f"bad filter type {f}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
+        out[y] = rec
+        prev = out[y]
     return out.reshape(h, w, ch)
 
 

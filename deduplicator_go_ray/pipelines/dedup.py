@@ -50,10 +50,19 @@ _EMPTY_EDGES = pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.st
 _STAGE_CACHE: dict = {}
 
 
-def _extract_cached(batch: pa.Table) -> pa.Table:
-    st = _STAGE_CACHE.get("extract")
+def _extract_cached(batch: pa.Table, extractor="deterministic") -> pa.Table:
+    """Per-worker cached extract stage.  ``extractor`` is the config
+    slot: "deterministic" (default kernel, the oracle twin) or a
+    ``(name, factory)`` tuple — ``factory()`` runs once per worker
+    process when the cache misses, so a heavy production extractor
+    pays its setup once per worker exactly like an actor ``__init__``
+    (stages/extract.py docstring has the contract)."""
+    name = extractor if isinstance(extractor, str) else extractor[0]
+    key = ("extract", name)
+    st = _STAGE_CACHE.get(key)
     if st is None:
-        st = _STAGE_CACHE["extract"] = ExtractStage()
+        factory = None if isinstance(extractor, str) else extractor[1]
+        st = _STAGE_CACHE[key] = ExtractStage(extract_factory=factory)
     return st(batch)
 
 
@@ -164,12 +173,17 @@ def run_dedup(
     elif cfg.signature_concurrency is None:
         extracted = pages.map_batches(
             _extract_cached,
+            fn_kwargs=({"extractor": cfg.extractor}
+                       if cfg.extractor != "deterministic" else None),
             batch_format="pyarrow",
             batch_size=cfg.signature_batch_size,
         )
     else:
         extracted = pages.map_batches(
             ExtractStage,
+            fn_constructor_kwargs=(
+                {"extract_factory": cfg.extractor[1]}
+                if cfg.extractor != "deterministic" else None),
             batch_format="pyarrow",
             batch_size=cfg.signature_batch_size,
             concurrency=cfg.signature_concurrency,

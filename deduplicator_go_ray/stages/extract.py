@@ -29,14 +29,35 @@ class ExtractStage:
     abandoned and replaced (bounded leak, one thread per timeout —
     exactly the reference's abandoned-goroutine tradeoff).  Default off:
     the dispatch overhead (~10 µs/row) is only worth paying when inputs
-    may be pathological.  ``extract_fn`` is injectable for tests."""
+    may be pathological.
+
+    The extractor SLOT (VERDICT r3 #5, mirroring the multimodal
+    ``decoder=`` pattern): the default is the deterministic
+    public-knowledge kernel (``functions/text.py`` — the oracle twin);
+    a production extractor plugs in without touching the pipeline via
+    either
+
+    * ``extract_fn`` — an already-built ``html -> (text, err|None)``
+      callable (tests, cheap stateless extractors), or
+    * ``extract_factory`` — a zero-arg factory producing that callable,
+      invoked ONCE per actor / worker process in ``__init__`` — the
+      place to load a model or compile heavy tables.  With the
+      pipeline's task-based plan the built stage is cached per worker
+      process (``pipelines/dedup.py:_extract_cached``), so the factory
+      cost is paid once per worker either way.
+    """
 
     def __init__(self, html_col: str = "html", prefer_existing_text: bool = False,
                  timeout_s: float | None = None,
-                 extract_fn: Callable | None = None):
+                 extract_fn: Callable | None = None,
+                 extract_factory: Callable | None = None):
         self.html_col = html_col
         self.prefer_existing_text = prefer_existing_text
         self.timeout_s = timeout_s
+        if extract_fn is not None and extract_factory is not None:
+            raise ValueError("pass extract_fn OR extract_factory, not both")
+        if extract_factory is not None:
+            extract_fn = extract_factory()   # once per actor/worker
         self.extract_fn = extract_fn or extract_text
         self._pool = None
 

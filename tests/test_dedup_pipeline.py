@@ -422,3 +422,62 @@ def test_empty_and_all_error_corpus(ray_session):
     assert len(out2) == 4
     assert (out2["match_kind"] == "error").all()
     assert (out2["action"] == "keep").all()
+
+
+def test_pluggable_extractor_slot(corpus):
+    """VERDICT r3 #5: a user extractor rides the extract stage via
+    cfg.extractor=(name, factory) without touching pipeline code.  A
+    factory wrapping the deterministic kernel reproduces the baseline
+    byte-for-byte; a genuinely different extractor visibly changes the
+    flagship's grouping input (proof the slot is live), and the
+    factory runs on the WORKERS (once per process), not the driver."""
+    import ray.data as rd
+
+    from deduplicator_go_ray.config import PipelineConfig as PC
+    from deduplicator_go_ray.functions.text import extract_text
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 120)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+
+    driver_calls = []
+
+    def wrapping_factory():
+        driver_calls.append(1)   # never appended on the DRIVER process
+        return extract_text
+
+    same = run_dedup(
+        rd.from_arrow(small),
+        PC(extractor=("wrapped-deterministic", wrapping_factory)),
+    ).to_pandas()
+    assert not driver_calls   # factory ran in workers only
+    a = base.sort_values("url").reset_index(drop=True)
+    b = same.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
+
+    # a constant-text extractor collapses every ok row into one exact
+    # cluster — only possible if the custom callable actually ran
+    def constant_factory():
+        return lambda html: ("the same extracted text for every page", None)
+
+    allsame = run_dedup(
+        rd.from_arrow(small), PC(extractor=("constant", constant_factory)),
+    ).to_pandas()
+    ok = allsame[allsame["match_kind"] != "error"]
+    assert ok["cluster_id"].nunique() == 1
+
+    # actor-pool plan takes the same slot via fn_constructor_kwargs
+    pool = run_dedup(
+        rd.from_arrow(small),
+        PC(extractor=("constant", constant_factory),
+           signature_concurrency=2),
+    ).to_pandas()
+    okp = pool[pool["match_kind"] != "error"]
+    assert okp["cluster_id"].nunique() == 1
+
+    # config validation fails loudly on a malformed slot
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="extractor"):
+        PC(extractor=("missing-factory",))
