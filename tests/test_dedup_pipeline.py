@@ -481,3 +481,24 @@ def test_pluggable_extractor_slot(corpus):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="extractor"):
         PC(extractor=("missing-factory",))
+
+
+def test_flood_verify_with_uid128_same_assignments(corpus):
+    """Mechanism combination for the r4 endpoint-task path: the flood
+    (partitioned) verify with 16-byte uids — endpoint arrays are numpy
+    OBJECT arrays there, probed via np.isin instead of searchsorted —
+    must still match the baseline byte-for-byte."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    flood128 = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(uid_bits=128, smallset_max_edges=0),
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = flood128.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
