@@ -130,8 +130,15 @@ def _scaling_child(num_cpus: int, pages_path: str, out_path: str) -> dict:
 import json, sys, time
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 import ray
+# object store sized to 50% of the box (Ray's own recommendation;
+# default 42.9% spills ~25 GiB at 2M docs — a FIXED disk-bandwidth
+# cost that taxes the faster run proportionally more and so corrupts
+# the N-vs-4N ratio; 64 GiB measured: zero spill at 2M, hi wall -13%).
+# Identical at both parallelism levels, so the comparison stays fair.
 ray.init(address="local", num_cpus={num_cpus}, include_dashboard=False,
-         logging_level="ERROR")
+         logging_level="ERROR",
+         object_store_memory=int(float(
+             __import__("os").environ.get("GRAFT_STORE_GB", "64")) * 2**30))
 import ray.data
 ray.data.DataContext.get_current().enable_progress_bars = False
 from deduplicator_go_ray.pipelines.dedup import run_dedup

@@ -467,17 +467,67 @@ def run_dedup(
             from ..stages.buckets import (verify_containment_edges_partitioned,
                                           verify_near_edges_partitioned)
             semifilter = n_cand <= cfg.verify_semifilter_max_edges
+            # PER-KIND routing (r4): the flood gate fires on the TOTAL
+            # candidate count, which band edges dominate — anchor
+            # (containment) pairs are typically orders of magnitude
+            # fewer and their verify can take the broadcast-index
+            # smallset plan even while the near verify floods.  Count
+            # anchors separately and let each verify self-select
+            # (the all-flood twin stays equality-tested via the
+            # smallset_max_edges=0 forced tests).
+            n_anchor = (cand.filter(expr=f"kind == {KIND_ANCHOR}").count()
+                        if cfg.run_substring_pass else 0)
+            anchor_small = (cfg.uid_bits == 64
+                            and 0 < n_anchor <= cfg.smallset_max_edges)
+            timer.note("n_anchor", n_anchor)
+            timer.note("anchor_plan",
+                       "smallset" if anchor_small else "partitioned")
+            # the containment verify's CONSTRUCTION is map-only work
+            # (endpoint tasks + text semi-filter + blob materialize —
+            # ~3.6 GB of text scan at 2M docs, measured ~20 s at 16
+            # cpus) and its exchanges only run at ITS materialize —
+            # build it on a background thread so the payload scan
+            # overlaps the near verify's round-1 exchanges instead of
+            # running serially between them (maps + one exchange in
+            # flight: the chained-AllToAll hazard shape cannot
+            # assemble).
+            cont_box: dict = {}
+            cont_th = None
+            if cfg.run_substring_pass:
+                import threading as _threading
+
+                def _build_cont() -> None:
+                    try:
+                        sub_cand = cand.filter(
+                            expr=f"kind == {KIND_ANCHOR}")
+                        if anchor_small:
+                            cont_box["ds"] = verify_containment_edges(
+                                sub_cand, reps, direct_refs=False,
+                                prebuilt=None)
+                        else:
+                            cont_box["ds"] = \
+                                verify_containment_edges_partitioned(
+                                    sub_cand, reps,
+                                    num_partitions=cfg.bucket_partitions,
+                                    uid_bits=cfg.uid_bits,
+                                    endpoint_filter=semifilter)
+                    except BaseException as e:  # pragma: no cover
+                        cont_box["err"] = e
+
+                cont_th = _threading.Thread(
+                    target=_build_cont, name="containment-verify-build",
+                    daemon=True)
+                cont_th.start()
             near_lazy = verify_near_edges_partitioned(
                 near_cand, sigs, cfg.minhash,
                 num_partitions=cfg.bucket_partitions,
                 uid_bits=cfg.uid_bits,
                 endpoint_filter=semifilter)
-            cont_lazy = (verify_containment_edges_partitioned(
-                cand.filter(expr=f"kind == {KIND_ANCHOR}"), reps,
-                num_partitions=cfg.bucket_partitions,
-                uid_bits=cfg.uid_bits,
-                endpoint_filter=semifilter)
-                if cfg.run_substring_pass else None)
+            if cont_th is not None:
+                cont_th.join()
+                if "err" in cont_box:
+                    raise cont_box["err"]
+            cont_lazy = cont_box.get("ds")
             overlap = (_os.environ.get("GRAFT_VERIFY_OVERLAP") == "1"
                        and _os.environ.get("GRAFT_SHUFFLE", "sort") != "hash")
             if not overlap:

@@ -861,6 +861,31 @@ def _sig_blob_table(sigs: "ray.data.Dataset", P: int,
         f, batch_format="pyarrow")
 
 
+def _slot_slice_table(blobs: "ray.data.Dataset", P: int,
+                      lo: int, hi: int) -> "ray.data.Dataset":
+    """Lazy zero-copy-ish slot slice of a (uid, value=binary(P*8))
+    blob table: value → slots [lo, hi) as fixed binary((hi-lo)*8).
+    Stacked on a MATERIALIZED blob table it reads blocks zero-copy and
+    only the sliced bytes are ever packed into an exchange."""
+    w = hi - lo
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"uid": t["uid"],
+                             "value": pa.array([], pa.binary(w * 8))})
+        col = t["value"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.uint64,
+                             count=(arr.offset + n) * P)[arr.offset * P:]
+        part = np.ascontiguousarray(flat.reshape(n, P)[:, lo:hi])
+        blob = pa.Array.from_buffers(
+            pa.binary(w * 8), n, [None, pa.py_buffer(part.tobytes())])
+        return pa.table({"uid": t["uid"], "value": blob})
+
+    return blobs.map_batches(f, batch_format="pyarrow")
+
+
 def _endpoint_uids_task(refs: tuple, col: str, uid_bits: int):
     """Sorted-unique uids of ONE endpoint column, gathered zero-copy
     from the materialized edge table's block refs.  Runs remotely."""
@@ -963,6 +988,53 @@ def _filter_payload_by_uid_ref(
     return payload.map_batches(f, batch_format="pyarrow")
 
 
+def semi_filter_payload_by_union(
+    payload: "ray.data.Dataset",
+    uid_refs: tuple,
+) -> "ray.data.Dataset":
+    """Semi-filter a ``(uid, value)`` payload table by the UNION of the
+    two role arrays from :func:`endpoint_uid_refs` — rows matching
+    either endpoint survive (worker-side cached union, zero-copy plasma
+    reads)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .common import sorted_probe
+
+        wanted = _union_endpoint_uids(*uid_refs)
+        uid = uid_np(batch["uid"], _uid_bits_of(batch["uid"]))
+        if wanted.dtype == np.int64 and uid.dtype == np.int64:
+            _, keep = sorted_probe(wanted, uid)
+        else:
+            keep = np.isin(uid, wanted)
+        return batch.filter(pa.array(keep))
+
+    return payload.map_batches(f, batch_format="pyarrow")
+
+
+def _combine_uid_value_blocks(refs: tuple, w: int):
+    """(sorted uids, (n, w) uint64 matrix) from a materialized
+    ``(uid, value=binary(w*8))`` table's block refs — one contiguous
+    plasma object per array, built in a single task (the
+    ``_build_sorted_index`` pattern).  Duplicate uids keep the first
+    occurrence (payload rows are uid-unique by construction)."""
+    import ray as _ray
+
+    tables = [t for t in _ray.get(list(refs)) if len(t)]
+    if not tables:
+        return np.empty(0, np.int64), np.empty((0, max(w, 1)), np.uint64)
+    tbl = pa.concat_tables(tables)
+    n = len(tbl)
+    uid = uid_np(tbl["uid"], _uid_bits_of(tbl["uid"]))
+    col = tbl["value"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    flat = np.frombuffer(col.buffers()[1], dtype=np.uint64,
+                         count=(col.offset + n) * w)[col.offset * w:]
+    mat = flat.reshape(n, w)
+    order = np.argsort(uid, kind="stable")
+    return uid[order], np.ascontiguousarray(mat[order])
+
+
 def _overlapped_materialize(primary: "ray.data.Dataset",
                             secondary: "ray.data.Dataset"):
     """Materialize ``primary`` while ``secondary`` materializes on a
@@ -1011,6 +1083,20 @@ def verify_near_edges_partitioned(
     both packed exchanges (the whole sig table twice).  The caller
     disables it past ``verify_semifilter_max_edges``, where the
     endpoint array itself stops being broadcastable."""
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("GRAFT_PHASE_TIMING") == "1"
+    _t = _time.time()
+
+    def _sub(label: str) -> None:
+        nonlocal _t
+        if _timing:
+            now = _time.time()
+            print(f"[subphase] verify_near/{label}: {now - _t:.2f}s",
+                  flush=True)
+            _t = now
+
     P = cfg.num_perms
     ep = endpoint_uid_refs(edges, uid_bits) if endpoint_filter else None
     if endpoint_filter:
@@ -1023,6 +1109,7 @@ def verify_near_edges_partitioned(
         # the signature table).  Bounded by the endpoint count here;
         # the unfiltered (true-flood) plan stays streaming.
         blobs = blobs.materialize()
+        _sub("sig_semi_filter+blob_mat")
         # role-scoped payloads: each attach only joins on ITS endpoint,
         # and the u/v endpoint sets barely overlap (500k docs: 92k/92k
         # vs 149k union) — the role filter is a lazy zero-copy probe
@@ -1032,11 +1119,19 @@ def verify_near_edges_partitioned(
         blobs_v = _filter_payload_by_uid_ref(blobs, ep[1])
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
-    sig_t = pa.binary(P * 8)
     thr = cfg.verify_threshold
+    # integer form of `mean(slots equal) >= thr`: smallest match count
+    # that passes (exact — no float mean in the two-round path)
+    m_min = int(np.ceil(thr * P - 1e-9))
+    half = P // 2
+    # two-round plan is sound only if a first-half count below
+    # `prune_min` PROVES the pair cannot reach m_min even if every
+    # second-half slot matched
+    prune_min = m_min - (P - half)
+    two_round = half >= 8 and prune_min > 0
 
-    def _sig_matrix(col, n: int) -> np.ndarray:
-        """(n, P) uint64 view of a fixed_size_binary(P*8) column — one
+    def _sig_matrix(col, n: int, w: int) -> np.ndarray:
+        """(n, w) uint64 view of a fixed_size_binary(w*8) column — one
         buffer view, no per-row Python bytes (n > 0 by the caller's
         early return, so combine_chunks yields one populated chunk)."""
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -1045,20 +1140,102 @@ def verify_near_edges_partitioned(
         if pa.types.is_fixed_size_binary(arr.type):
             buf = arr.buffers()[1]
             flat = np.frombuffer(buf, dtype=np.uint64,
-                                 count=(arr.offset + n) * P)[arr.offset * P:]
-            return flat.reshape(n, P)
+                                 count=(arr.offset + n) * w)[arr.offset * w:]
+            return flat.reshape(n, w)
         return np.frombuffer(b"".join(arr.to_pylist()),
-                             dtype=np.uint64).reshape(n, P)
+                             dtype=np.uint64).reshape(n, w)
 
-    def score(batch: pa.Table) -> pa.Table:
+    def _empty_edges() -> pa.Table:
+        return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
+                         "v": pa.array([], uid_pa_type(uid_bits)),
+                         "kind": pa.array([], pa.int8())})
+
+    def _barrier_materialize(att_u, blobs_v):
+        # BARRIER between the two attach exchanges: two AllToAll
+        # operators chained lazily in one streaming DAG split the CPU
+        # budget between their concurrent sub-stages — adjacent A/B at
+        # 500k docs measured the lazy chain 1.6× slower at 16 cpus and
+        # neutral at 4, i.e. the lazy chain is precisely what flattens
+        # the N-vs-4N scaling curve.  The v-side payload filter is
+        # map-only — it materializes on a background thread DURING the
+        # u-attach instead of serially after the barrier (no second
+        # exchange in flight, so the hazard shape cannot assemble)
+        if endpoint_filter and not _os.environ.get("GRAFT_NO_OVERLAP"):
+            return _overlapped_materialize(att_u, blobs_v)
+        return att_u.materialize(), blobs_v
+
+    if not two_round:
+        # single-round plan (tiny P or a threshold the first half
+        # cannot bound): full signatures through both exchanges
+        sig_t = pa.binary(P * 8)
+
+        def score(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return _empty_edges()
+            a = _sig_matrix(batch["sig_u"], n, P)
+            bb = _sig_matrix(batch["sig_v"], n, P)
+            keep = (a == bb).sum(axis=1) >= m_min
+            m = pa.array(keep)
+            return pa.table({
+                "u": _uid_cast(batch["u"].filter(m), uid_bits),
+                "v": _uid_cast(batch["v"].filter(m), uid_bits),
+                "kind": batch["kind"].filter(m).combine_chunks().cast(
+                    pa.int8()),
+            })
+
+        att_u = _attach_payload_partitioned(
+            edges, blobs_u, "u", "sig_u",
+            num_partitions, int_cols=edge_ints, out_type=sig_t,
+            dedupe_on=("u", "v"))
+        att_u_m, blobs_v = _barrier_materialize(att_u, blobs_v)
+        _sub("u_attach_mat")
+        return _attach_payload_partitioned(
+            att_u_m,
+            blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
+            out_type=sig_t, post_fn=score)
+
+    # ---- two-round half-signature plan (the r4 volume cut) ----------------
+    # The second attach used to re-ship every already-attached 1 KiB
+    # sig_u — measured 2M docs/16 cpus: 42.6 s of the 60 s verify, the
+    # worst-scaling slice of the flood plan.  Round 1 attaches only the
+    # FIRST half of each signature (P/2 slots) and keeps a pair only if
+    # its half-count m1 could still reach m_min with every second-half
+    # slot equal (m1 ≥ prune_min — a sound bound, so the final edge set
+    # is bit-identical).  Band collisions that aren't near-dups sit far
+    # below the bound, so the second round's exchanges carry only the
+    # few survivors (+ their m1) and the other half of THEIR signatures.
+    half_t = pa.binary(half * 8)
+    rest = P - half
+    rest_t = pa.binary(rest * 8)
+
+    def score_half(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
             return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
                              "v": pa.array([], uid_pa_type(uid_bits)),
-                             "kind": pa.array([], pa.int8())})
-        a = _sig_matrix(batch["sig_u"], n)
-        bb = _sig_matrix(batch["sig_v"], n)
-        keep = (a == bb).mean(axis=1) >= thr
+                             "kind": pa.array([], pa.int8()),
+                             "m1": pa.array([], pa.int64())})
+        a = _sig_matrix(batch["sig_u"], n, half)
+        bb = _sig_matrix(batch["sig_v"], n, half)
+        m1 = (a == bb).sum(axis=1)
+        keep = m1 >= prune_min
+        m = pa.array(keep)
+        return pa.table({
+            "u": _uid_cast(batch["u"].filter(m), uid_bits),
+            "v": _uid_cast(batch["v"].filter(m), uid_bits),
+            "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
+            "m1": pa.array(m1[keep], pa.int64()),
+        })
+
+    def score_final(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return _empty_edges()
+        a = _sig_matrix(batch["sig_u"], n, rest)
+        bb = _sig_matrix(batch["sig_v"], n, rest)
+        m1 = np.asarray(batch["m1"], dtype=np.int64)
+        keep = (m1 + (a == bb).sum(axis=1)) >= m_min
         m = pa.array(keep)
         return pa.table({
             "u": _uid_cast(batch["u"].filter(m), uid_bits),
@@ -1066,33 +1243,89 @@ def verify_near_edges_partitioned(
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
-    # the score runs as post_fn INSIDE the second attach's reduce — the
-    # wide (u, v, kind, sig_u, sig_v) join rows (2 KiB+/row) are scored
-    # in place and only the skinny surviving edges ever leave the task
+    lo_u = _slot_slice_table(blobs_u, P, 0, half)
+    lo_v = _slot_slice_table(blobs_v, P, 0, half)
     att_u = _attach_payload_partitioned(
-        edges, blobs_u, "u", "sig_u",
-        num_partitions, int_cols=edge_ints, out_type=sig_t,
+        edges, lo_u, "u", "sig_u",
+        num_partitions, int_cols=edge_ints, out_type=half_t,
         # the fused emitter surfaces a pair once per shared band/chunk
         # — drop the copies before any signature is glued on (~2.9×
         # fewer rows through the second exchange)
         dedupe_on=("u", "v"))
-    # BARRIER between the two attach exchanges: two AllToAll operators
-    # chained lazily in one streaming DAG split the CPU budget between
-    # their concurrent sub-stages — adjacent A/B at 500k docs measured
-    # the lazy chain 1.6× slower at 16 cpus and neutral at 4, i.e. the
-    # lazy chain is precisely what flattens the N-vs-4N scaling curve.
-    # The v-side payload filter is map-only — it materializes on a
-    # background thread DURING the u-attach instead of serially after
-    # the barrier (no second exchange in flight, so the hazard shape
-    # cannot assemble)
-    if endpoint_filter:
-        att_u_m, blobs_v = _overlapped_materialize(att_u, blobs_v)
-    else:
-        att_u_m = att_u.materialize()
-    return _attach_payload_partitioned(
+    att_u_m, lo_v = _barrier_materialize(att_u, lo_v)
+    _sub("u_attach_mat")
+    survivors = _attach_payload_partitioned(
         att_u_m,
-        blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
-        out_type=sig_t, post_fn=score)
+        lo_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
+        out_type=half_t, post_fn=score_half).materialize()
+    n_surv = survivors.count()
+    if _timing:
+        print(f"[note] n_survivors: {n_surv}", flush=True)
+    _sub("round1_survivors")
+    if n_surv == 0:
+        return ray.data.from_arrow(_empty_edges())
+    # round 2: survivors are the near-dups + a thin borderline band —
+    # orders of magnitude fewer than candidates — so their second-half
+    # signatures fit a BROADCAST index: one parallel scan semi-filters
+    # the blob table to survivor endpoints and slices out slots
+    # [half, P); one 1-cpu task combines the (tiny) result into a
+    # sorted plasma index; one map over survivors scores both
+    # endpoints against it.  Zero additional exchanges (the first cut
+    # of round 2 re-used the keyed attaches and measured ~50 s of
+    # exchange machinery to move <200k survivor rows at 2M docs).
+    # Degenerate corpora where most candidates survive fall back to
+    # the keyed attaches via the broadcast cap (index stays bounded).
+    ep2 = endpoint_uid_refs(survivors, uid_bits)
+    if n_surv * 2 * rest * 8 <= 4 * 2**30:     # broadcast cap: 4 GiB
+        hi_all = _slot_slice_table(
+            semi_filter_payload_by_union(blobs, ep2), P, half, P
+        ).materialize()
+        _sub("round2_payload_scan")
+        from .lsh import block_refs_of
+
+        build = ray.remote(num_cpus=1)(_combine_uid_value_blocks)
+        idx_ref = build.remote(tuple(block_refs_of(hi_all)), rest)
+
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return _empty_edges()
+            uid_s, mat = _shared_index(idx_ref)
+            iu = _searchsorted_indexer(uid_s, uid_np(batch["u"],
+                                                     uid_bits))
+            iv = _searchsorted_indexer(uid_s, uid_np(batch["v"],
+                                                     uid_bits))
+            ok = (iu >= 0) & (iv >= 0)
+            m1 = np.asarray(batch["m1"], dtype=np.int64)
+            m2 = np.zeros(n, np.int64)
+            if ok.any():
+                m2[ok] = (mat[iu[ok]] == mat[iv[ok]]).sum(axis=1)
+            keep = ok & ((m1 + m2) >= m_min)
+            m = pa.array(keep)
+            return pa.table({
+                "u": _uid_cast(batch["u"].filter(m), uid_bits),
+                "v": _uid_cast(batch["v"].filter(m), uid_bits),
+                "kind": batch["kind"].filter(m).combine_chunks().cast(
+                    pa.int8()),
+            })
+
+        return survivors.map_batches(score_broadcast,
+                                     batch_format="pyarrow")
+
+    # keyed fallback (degenerate survivor floods): two more attaches
+    surv_ints = dict(edge_ints, m1=pa.int64())
+    hi_u = _slot_slice_table(
+        _filter_payload_by_uid_ref(blobs, ep2[0]), P, half, P)
+    hi_v = _slot_slice_table(
+        _filter_payload_by_uid_ref(blobs, ep2[1]), P, half, P)
+    att2 = _attach_payload_partitioned(
+        survivors, hi_u, "u", "sig_u",
+        num_partitions, int_cols=surv_ints, out_type=rest_t)
+    att2_m = att2.materialize()
+    _sub("round2_u_attach")
+    return _attach_payload_partitioned(
+        att2_m, hi_v, "v", "sig_v", num_partitions,
+        int_cols=surv_ints, out_type=rest_t, post_fn=score_final)
 
 
 def _uid_cast(col, uid_bits: int):

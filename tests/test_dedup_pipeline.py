@@ -502,3 +502,26 @@ def test_flood_verify_with_uid128_same_assignments(corpus):
     for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
                 "match_kind"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_mixed_verify_routing_same_assignments(corpus):
+    """r4 per-kind verify routing: with smallset_max_edges between the
+    anchor count (9 on this fixture) and the total candidate count
+    (65), the near verify floods while the containment verify
+    self-selects its broadcast smallset plan — assignments must match
+    the baseline byte-for-byte (and the all-flood twin at gate 0
+    stays covered by test_flood_verify_partitioned_same_assignments)."""
+    import ray.data as rd
+
+    pages_tbl, _ = corpus
+    small = pages_tbl.slice(0, 250)
+    base = run_dedup(rd.from_arrow(small)).to_pandas()
+    mixed = run_dedup(
+        rd.from_arrow(small),
+        PipelineConfig(smallset_max_edges=30),
+    ).to_pandas()
+    a = base.sort_values("url").reset_index(drop=True)
+    b = mixed.sort_values("url").reset_index(drop=True)
+    for col in ["url", "cluster_id", "keeper_url", "is_keeper", "action",
+                "match_kind"]:
+        assert (a[col] == b[col]).all(), col
