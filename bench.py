@@ -105,13 +105,26 @@ def _ensure_scale_corpus() -> str:
     """Deterministic synthetic pages corpus for the scaling run — the
     sf0.1 documents table (5k short rows) is too small to saturate 32
     cpus, so the N-vs-4N evidence runs on the planted-dup web corpus
-    (seed-fixed, bit-identical across invocations)."""
+    (seed-fixed, bit-identical across invocations).
+
+    Generation runs in a SUBPROCESS: the in-process generator holds the
+    whole table as Python objects (~67 GB RSS at 4M rows) and CPython
+    never returns that arena to the OS, so the long-lived bench parent
+    was OOM-killed mid-protocol once the first child's own footprint
+    stacked on top (hit at 4M in round 4)."""
     pages = os.path.join(SCALE_CORPUS, "pages")
     if not os.path.isdir(pages):
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from deduplicator_go_ray.sources.corpus import write_corpus
-
-        write_corpus(SCALE_CORPUS, SCALE_ROWS, seed=42)
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from deduplicator_go_ray.sources.corpus import write_corpus\n"
+            "write_corpus(%r, %d, seed=42)\n"
+            % (os.path.dirname(os.path.abspath(__file__)),
+               SCALE_CORPUS, SCALE_ROWS))
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=7200)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"corpus generation failed:\n{proc.stderr[-2000:]}")
     return pages
 
 
