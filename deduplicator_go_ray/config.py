@@ -168,6 +168,14 @@ class PipelineConfig:
     # per-worker stage cache, so two configs with different extractors
     # never share a built stage.
     extractor: "str | tuple" = "deterministic"
+    # per-row extraction watchdog budget, seconds — ON by default ≙
+    # the reference's always-on 60 s inactivity timeout
+    # (files/files.go:33-71; VERDICT r4 wrong #4): a pathological page
+    # in a 100-TB run yields an in-band TIMEOUT_ERROR sentinel row
+    # instead of stalling its worker indefinitely.  Explicit ``None``
+    # disarms (the batch-supervised watchdog costs one worker thread +
+    # a notify per row when it never fires).
+    extract_timeout_s: float | None = 60.0
     # edges below this count resolve with a driver-side DSU; above it
     # the distributed label-propagation path runs (SURVEY.md §7.4).
     driver_dsu_max_edges: int = 5_000_000

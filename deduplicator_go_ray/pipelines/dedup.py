@@ -50,19 +50,23 @@ _EMPTY_EDGES = pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.st
 _STAGE_CACHE: dict = {}
 
 
-def _extract_cached(batch: pa.Table, extractor="deterministic") -> pa.Table:
+def _extract_cached(batch: pa.Table, extractor="deterministic",
+                    timeout_s: float | None = 60.0) -> pa.Table:
     """Per-worker cached extract stage.  ``extractor`` is the config
     slot: "deterministic" (default kernel, the oracle twin) or a
     ``(name, factory)`` tuple — ``factory()`` runs once per worker
     process when the cache misses, so a heavy production extractor
     pays its setup once per worker exactly like an actor ``__init__``
-    (stages/extract.py docstring has the contract)."""
+    (stages/extract.py docstring has the contract).  ``timeout_s`` is
+    the per-row watchdog budget (config ``extract_timeout_s``; default
+    ON ≙ files/files.go:33)."""
     name = extractor if isinstance(extractor, str) else extractor[0]
-    key = ("extract", name)
+    key = ("extract", name, timeout_s)
     st = _STAGE_CACHE.get(key)
     if st is None:
         factory = None if isinstance(extractor, str) else extractor[1]
-        st = _STAGE_CACHE[key] = ExtractStage(extract_factory=factory)
+        st = _STAGE_CACHE[key] = ExtractStage(
+            extract_factory=factory, timeout_s=timeout_s)
     return st(batch)
 
 
@@ -171,19 +175,22 @@ def run_dedup(
         # extract stage entirely
         extracted = pages
     elif cfg.signature_concurrency is None:
+        ex_kwargs = {"timeout_s": cfg.extract_timeout_s}
+        if cfg.extractor != "deterministic":
+            ex_kwargs["extractor"] = cfg.extractor
         extracted = pages.map_batches(
             _extract_cached,
-            fn_kwargs=({"extractor": cfg.extractor}
-                       if cfg.extractor != "deterministic" else None),
+            fn_kwargs=ex_kwargs,
             batch_format="pyarrow",
             batch_size=cfg.signature_batch_size,
         )
     else:
+        ctor_kwargs = {"timeout_s": cfg.extract_timeout_s}
+        if cfg.extractor != "deterministic":
+            ctor_kwargs["extract_factory"] = cfg.extractor[1]
         extracted = pages.map_batches(
             ExtractStage,
-            fn_constructor_kwargs=(
-                {"extract_factory": cfg.extractor[1]}
-                if cfg.extractor != "deterministic" else None),
+            fn_constructor_kwargs=ctor_kwargs,
             batch_format="pyarrow",
             batch_size=cfg.signature_batch_size,
             concurrency=cfg.signature_concurrency,

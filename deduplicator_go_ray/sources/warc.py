@@ -222,7 +222,16 @@ def read_warc(path: str, base_dir: str | None = None) -> "object":
             with fs.open_input_stream(rel, compression=None) as f:
                 raw = f.readall()
             if low.endswith(".gz"):
-                raw, _ = _gunzip_members(raw)
+                raw, dropped = _gunzip_members(raw)
+                if dropped:
+                    # A manifest is tiny and load-bearing: a corrupt
+                    # member would silently truncate the shard list,
+                    # so fail loudly instead of warning like the
+                    # (recoverable) shard-body path (ADVICE r4 #3).
+                    raise ValueError(
+                        f"corrupt warc.paths manifest {path!r}: "
+                        f"{dropped} undecodable compressed bytes — "
+                        "refusing to run on a truncated shard list")
             text = raw.decode("utf-8")
             root = (base_dir if base_dir is not None
                     else path.rsplit("/", 1)[0])

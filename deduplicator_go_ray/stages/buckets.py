@@ -30,6 +30,8 @@ the partition-count-invariance contract (files/move.go:226-236).
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1052,7 +1054,10 @@ def _overlapped_materialize(primary: "ray.data.Dataset",
     def run() -> None:
         try:
             box["ds"] = secondary.materialize()
-        except BaseException as e:  # pragma: no cover - fallback path
+        except Exception as e:  # pragma: no cover - fallback path
+            # Exception, not BaseException: a KeyboardInterrupt /
+            # SystemExit on the prefetch thread must propagate, not be
+            # swallowed into the lazy fallback (VERDICT r4 wrong #5).
             box["err"] = e
 
     th = threading.Thread(target=run, name="v-payload-prefetch",
@@ -1390,11 +1395,13 @@ def verify_containment_edges_partitioned(
 
     # check fused into the second attach's reduce, barrier between the
     # exchanges, v-payload prefetch overlapped with the u-attach —
-    # all as in the near twin (see the rationale there)
+    # all as in the near twin (see the rationale there).  The
+    # GRAFT_NO_OVERLAP kill-switch covers this twin too (ADVICE r4 #5:
+    # it used to guard only the near path).
     att_u = _attach_payload_partitioned(
         pairs, blobs_u, "u", "text_u",
         num_partitions, int_cols=edge_ints, out_type=pa.string())
-    if endpoint_filter:
+    if endpoint_filter and not _os.environ.get("GRAFT_NO_OVERLAP"):
         att_u_m, blobs_v = _overlapped_materialize(att_u, blobs_v)
     else:
         att_u_m = att_u.materialize()

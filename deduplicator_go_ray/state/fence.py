@@ -9,19 +9,38 @@ writer per store" by convention only (VERDICT r3 missing #1) — two
 concurrent jobs pointed at the same directory could interleave
 appends.  This module is the engine analogue:
 
-* the lock sentinel is ``<dir>/.writer.lock`` — dot-prefixed, so it is
-  invisible to parquet dataset discovery exactly like the checkpoint
-  tmp files (the ``ignore_prefixes ['.', '_']`` discipline);
+* the lock sentinel is a dot-prefixed SIBLING of the fenced directory
+  (``/x/.store.writer.lock`` for ``/x/store``) — outside the data dir,
+  so (a) parquet dataset discovery never sees it at any nesting level
+  and (b) whole-directory swap rewrites (sigstore compact/prune) keep
+  the fence held: the rename moves the data, never the sentinel
+  (ADVICE r4 #2 — the in-dir sentinel used to ride the rename into the
+  ``.old`` dir and get deleted mid-hold);
 * acquisition is one atomic ``O_CREAT|O_EXCL`` create with a JSON
   payload (owner id, host, pid, acquire time) — no read-check-create
   window;
 * liveness extends the reference's same-host pid probe with a
   HEARTBEAT (the holder touches the sentinel's mtime on a background
-  thread), because a shared store directory may be fenced from a
-  different host where pid liveness means nothing;
+  thread, through its own fd so a takeover's rename can never make it
+  refresh a NEW holder's sentinel), because a shared store directory
+  may be fenced from a different host where pid liveness means
+  nothing.  A live same-host pid is never stale, whatever the mtime
+  says (ADVICE r4 #1 — a GC-stalled holder must not be stolen from);
+* foreign-host staleness is decided from TWO LOCAL observations
+  (VERDICT r4 wrong #2): the sentinel is a takeover candidate only if
+  its locally-computed age exceeds the window AND a second stat
+  ``stale_after/2`` later shows the mtime did not advance.  A live
+  holder heartbeats every ``stale_after/4``, so its mtime must advance
+  between the observations — no clock agreement between the
+  contender's host and the filesystem server is needed, which is what
+  makes the scheme safe on a shared network FS with skewed clocks;
 * stale takeover is race-safe: a contender first *renames* the stale
   sentinel to a unique name (only one rename can win) and only then
-  re-tries the atomic create.
+  re-tries the atomic create;
+* release verifies ownership before unlinking (``os.fstat`` of the
+  held fd vs ``os.stat`` of the path): a holder that WAS legitimately
+  taken over must not delete the new holder's sentinel when it
+  resumes (ADVICE r4 #1's third-writer corruption scenario).
 
 A second live writer fails loudly (``FenceHeldError`` naming the
 holder) or, with ``wait=True``, polls until the holder releases.
@@ -36,7 +55,15 @@ import socket
 import threading
 import time
 
-LOCK_NAME = ".writer.lock"
+LOCK_SUFFIX = ".writer.lock"
+
+
+def lock_path(state_dir: str) -> str:
+    """Sentinel path for ``state_dir``: a dot-prefixed sibling, e.g.
+    ``/x/store`` → ``/x/.store.writer.lock``."""
+    norm = os.path.normpath(state_dir)
+    parent, base = os.path.split(norm)
+    return os.path.join(parent or ".", f".{base}{LOCK_SUFFIX}")
 
 
 class FenceHeldError(RuntimeError):
@@ -60,17 +87,18 @@ class WriteFence:
     """Single-writer fence on a state directory.
 
     ``stale_after`` is the heartbeat staleness window: a sentinel whose
-    mtime is older than this is presumed crashed and may be taken over
-    (the holder refreshes every ``stale_after/4`` seconds, so a healthy
-    writer is never within a factor 4 of the window).  A sentinel whose
-    recorded host matches ours gets the cheaper pid probe first — a
-    dead pid is reclaimed immediately, no window wait.
+    mtime stopped advancing for longer than this is presumed crashed
+    and may be taken over (the holder refreshes every ``stale_after/4``
+    seconds, so a healthy writer is never within a factor 4 of the
+    window).  A sentinel whose recorded host matches ours is decided by
+    the pid probe alone — a dead pid is reclaimed immediately, no
+    window wait; a live one is never stolen from.
     """
 
     def __init__(self, state_dir: str, owner: str | None = None,
                  stale_after: float = 120.0) -> None:
         self.state_dir = state_dir
-        self.path = os.path.join(state_dir, LOCK_NAME)
+        self.path = lock_path(state_dir)
         self.owner = owner or f"{socket.gethostname()}:{os.getpid()}"
         self.stale_after = float(stale_after)
         self._fd: int | None = None
@@ -119,15 +147,28 @@ class WriteFence:
             self._beat.join(timeout=5)
             self._beat = None
         if self._fd is not None:
+            # only unlink a sentinel we still OWN: if a contender took
+            # over (renamed ours away, created its own), the path now
+            # names the NEW holder's file — deleting it would let a
+            # third writer acquire while the second still writes
+            # (ADVICE r4 #1)
+            mine = False
+            try:
+                own = os.fstat(self._fd)
+                cur = os.stat(self.path)
+                mine = (own.st_ino, own.st_dev) == (cur.st_ino, cur.st_dev)
+            except OSError:
+                mine = False
             try:
                 os.close(self._fd)
             except OSError:
                 pass
             self._fd = None
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+            if mine:
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
 
     def __enter__(self) -> "WriteFence":
         return self.acquire()
@@ -142,9 +183,11 @@ class WriteFence:
         def beat() -> None:
             while not self._stop.wait(interval):
                 try:
-                    os.utime(self.path)
-                except OSError:
-                    return  # sentinel gone (released / taken over)
+                    # fd-based: touches OUR sentinel even if a takeover
+                    # renamed it — never refreshes a successor's file
+                    os.utime(self._fd)
+                except (OSError, TypeError):
+                    return  # fd closed under us (released)
 
         self._beat = threading.Thread(
             target=beat, name="write-fence-heartbeat", daemon=True)
@@ -159,17 +202,35 @@ class WriteFence:
             return None
 
     def _is_stale(self, holder: dict | None) -> bool:
-        # unreadable/corrupt sentinel (crashed mid-write): age gate only
         if (holder is not None
                 and holder.get("host") == socket.gethostname()
                 and isinstance(holder.get("pid"), int)):
-            if not _pid_alive(holder["pid"]):
-                return True
+            # same host: pid liveness decides outright — dead pid is
+            # reclaimed with no window wait (≙ lock/lock.go
+            # cleanStaleLock); a LIVE pid is never stale no matter how
+            # old the mtime looks (a stalled-but-alive holder keeps
+            # its fence, ADVICE r4 #1)
+            return not _pid_alive(holder["pid"])
         try:
-            age = time.time() - os.stat(self.path).st_mtime
+            st1 = os.stat(self.path)
         except FileNotFoundError:
             return False  # released under us — just retry the create
-        return age > self.stale_after
+        if time.time() - st1.st_mtime <= self.stale_after:
+            return False  # presumed live; skew can only DELAY takeover
+        # Candidate-stale by local age — but st_mtime is the FS
+        # server's clock; skew could make a LIVE writer look old.
+        # Confirm with a second local observation: a live holder
+        # heartbeats every stale_after/4, so over stale_after/2 its
+        # mtime must ADVANCE.  Advancement needs no clock agreement
+        # (VERDICT r4 wrong #2).
+        time.sleep(self.stale_after / 2.0)
+        try:
+            st2 = os.stat(self.path)
+        except FileNotFoundError:
+            return False
+        if (st2.st_ino, st2.st_dev) != (st1.st_ino, st1.st_dev):
+            return False  # replaced under us — re-evaluate from scratch
+        return st2.st_mtime_ns <= st1.st_mtime_ns
 
     def _takeover(self) -> None:
         """Remove a stale sentinel race-safely: rename first (exactly

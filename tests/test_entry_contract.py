@@ -46,3 +46,23 @@ def test_no_ray_init_in_library():
             if re.match(r"^\s*(\w+\s*=\s*)?ray\.init\(", line):
                 offenders.append(f"{p}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_registry_priority_order_is_permutation(ray_session):
+    """The registry deliberately reorders queries()/oracle_sql() so the
+    driver's first-50 sample contains the code-heavy operator families
+    (documented in COVERAGE.md).  The reorder must be a pure
+    PERMUTATION: every registered query appears exactly once in both
+    maps, nothing dropped or duplicated (ADVICE r4 #4)."""
+    from deduplicator_go_ray.pipelines import registry
+
+    registry._ensure_loaded()
+    qs, osql = registry.queries(), registry.oracle_sql()
+    assert list(qs) == registry._priority_order(registry._QUERIES)
+    assert sorted(qs) == sorted(registry._QUERIES)
+    assert len(qs) == len(registry._QUERIES)
+    assert sorted(osql) == sorted(registry._ORACLES)
+    assert len(osql) == len(registry._ORACLES)
+    # demotion keeps the head = all non-demoted entries, in-order
+    head = list(qs)[: len(qs) - sum(1 for n in qs if n in registry._DEMOTE)]
+    assert all(n not in registry._DEMOTE for n in head)

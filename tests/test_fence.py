@@ -10,15 +10,15 @@ import time
 import pyarrow as pa
 import pytest
 
-from deduplicator_go_ray.state.fence import (FenceHeldError, LOCK_NAME,
-                                             WriteFence)
+from deduplicator_go_ray.state.fence import (FenceHeldError, WriteFence,
+                                             lock_path)
 
 
 def _plant_sentinel(d, *, pid, host=None, age=0.0):
     import socket
 
     os.makedirs(d, exist_ok=True)
-    p = os.path.join(d, LOCK_NAME)
+    p = lock_path(d)
     with open(p, "w") as f:
         json.dump({"owner": "other:1", "pid": pid,
                    "host": host or socket.gethostname(),
@@ -38,7 +38,7 @@ def test_concurrent_writer_fenced(tmp_path):
     a.release()
     b = WriteFence(d).acquire()   # no error once released
     b.release()
-    assert not os.path.exists(os.path.join(d, LOCK_NAME))
+    assert not os.path.exists(lock_path(d))
 
 
 def test_dead_same_host_pid_is_reclaimed_immediately(tmp_path):
@@ -114,7 +114,7 @@ def test_checkpointed_write_respects_fence(ray_session, tmp_path):
     m = checkpointed_write(ds, d, num_partitions=4, stage="t")
     assert int(m["rows_out"].sum()) == 20
     assert read_checkpoint(d).count() == 20
-    assert not os.path.exists(os.path.join(d, LOCK_NAME))  # released
+    assert not os.path.exists(lock_path(d))  # released
 
 
 def test_sigstore_writer_respects_fence(ray_session, tmp_path):
@@ -140,4 +140,93 @@ def test_sigstore_writer_respects_fence(ray_session, tmp_path):
     os.remove(sentinel)
     sigs, n = incremental_signatures(ds, d, compute_anchors=False)
     assert n == 8 and sigs.count() == 8
-    assert not os.path.exists(os.path.join(d, LOCK_NAME))
+    assert not os.path.exists(lock_path(d))
+
+
+def test_lock_sentinel_is_sibling_of_store(tmp_path):
+    """The sentinel lives OUTSIDE the fenced directory (dot-prefixed
+    sibling), so whole-directory swap rewrites (sigstore
+    compact/prune) keep the fence held and parquet discovery never
+    sees it (ADVICE r4 #2)."""
+    d = str(tmp_path / "store")
+    p = lock_path(d)
+    assert os.path.dirname(p) == str(tmp_path)
+    assert os.path.basename(p) == ".store.writer.lock"
+    with WriteFence(d):
+        assert os.path.exists(p)
+        assert os.listdir(d) == []          # data dir stays clean
+        # a directory swap (what compact/prune do) moves the DATA but
+        # never the sentinel — the fence survives the rename window
+        os.rename(d, d + ".old")
+        os.rename(d + ".old", d)
+        assert os.path.exists(p)
+
+
+def test_live_same_host_pid_never_stale(tmp_path):
+    """A live same-host holder keeps its fence no matter how old the
+    sentinel mtime looks (GC pause / NFS hang must not get it stolen —
+    ADVICE r4 #1)."""
+    d = str(tmp_path / "store")
+    _plant_sentinel(d, pid=os.getpid(), age=1000.0)
+    with pytest.raises(FenceHeldError):
+        WriteFence(d, stale_after=0.2).acquire()
+
+
+def test_fence_skewed_clock_not_stolen(tmp_path):
+    """A LIVE foreign-host writer whose mtimes are skewed far into the
+    past (FS server clock behind the contender's) is NOT taken over:
+    staleness needs the mtime to stop ADVANCING across two local
+    observations, not an absolute age (VERDICT r4 wrong #2)."""
+    d = str(tmp_path / "store")
+    p = _plant_sentinel(d, pid=os.getpid(), host="other-host", age=100.0)
+    stop = threading.Event()
+
+    def skewed_heartbeat() -> None:
+        # live writer whose FS timestamps land 100s in the past but
+        # keep advancing — exactly what a skewed NFS server produces
+        while not stop.wait(0.05):
+            t = time.time() - 100.0
+            try:
+                os.utime(p, (t, t))
+            except FileNotFoundError:
+                return
+
+    th = threading.Thread(target=skewed_heartbeat, daemon=True)
+    th.start()
+    try:
+        with pytest.raises(FenceHeldError):
+            WriteFence(d, stale_after=0.4).acquire()
+        assert os.path.exists(p)   # the live holder kept its sentinel
+    finally:
+        stop.set()
+        th.join()
+
+
+def test_crashed_foreign_writer_still_reclaimed(tmp_path):
+    """The two-observation rule still reclaims a genuinely crashed
+    foreign writer: old mtime AND no advance across the confirm
+    window."""
+    d = str(tmp_path / "store")
+    _plant_sentinel(d, pid=os.getpid(), host="other-host", age=100.0)
+    f = WriteFence(d, stale_after=0.4).acquire()   # ~0.2s confirm wait
+    f.release()
+    assert not os.path.exists(lock_path(d))
+
+
+def test_release_after_takeover_keeps_new_holders_sentinel(tmp_path):
+    """A holder that lost its fence to a takeover must not delete the
+    NEW holder's sentinel on release (ADVICE r4 #1: the unconditional
+    unlink re-enabled exactly the concurrent-writer corruption the
+    fence exists to prevent)."""
+    d = str(tmp_path / "store")
+    a = WriteFence(d, stale_after=3600).acquire()
+    # simulate a takeover: a's sentinel renamed away, successor's in place
+    os.rename(lock_path(d), lock_path(d) + ".stale.x")
+    os.remove(lock_path(d) + ".stale.x")
+    b = WriteFence(d, stale_after=3600).acquire()
+    a.release()                      # must NOT unlink b's sentinel
+    assert os.path.exists(lock_path(d))
+    with pytest.raises(FenceHeldError):
+        WriteFence(d, stale_after=3600).acquire()   # b still fences
+    b.release()
+    assert not os.path.exists(lock_path(d))

@@ -343,3 +343,40 @@ def test_upgrade_query_counts_distinct_texts(ray_session, tmp_path):
     assert out.loc["upgrade", "n_upgraded"] == 2      # distinct texts
     assert out.loc["resume", "n_unchanged"] == 2
     assert out.loc["upgrade", "n_failed"] == 0
+
+
+def test_compact_prune_respect_fence_and_sentinel_survives_swap(
+        ray_session, tmp_path, corpus):
+    """Dir-swap rewrites are fenced by the SIBLING sentinel (ADVICE r4
+    #2): a live holder blocks compaction/pruning, and a successful
+    compact leaves no lock debris inside or beside the store."""
+    import json
+    import os
+    import time
+
+    from deduplicator_go_ray.state.fence import FenceHeldError, lock_path
+    from deduplicator_go_ray.state.sigstore import (compact_store,
+                                                    incremental_signatures,
+                                                    prune_store)
+
+    store = str(tmp_path / "fenced_store")
+    first = dict(list(corpus.items())[:20])
+    incremental_signatures(_pages(first), store)     # ≥2 files so the
+    incremental_signatures(_pages(corpus), store)    # compact gate opens
+    # plant a live foreign holder (fresh mtime -> not stale)
+    with open(lock_path(store), "w") as f:
+        json.dump({"owner": "other:9", "host": "other-host", "pid": 1,
+                   "acquired_unix": time.time()}, f)
+    with pytest.raises(FenceHeldError):
+        compact_store(store, target_files=1)
+    with pytest.raises(FenceHeldError):
+        prune_store(store, _pages(corpus).select_columns(["text_sha256"]))
+    os.remove(lock_path(store))
+
+    n_files = compact_store(store, target_files=2)
+    assert n_files >= 1
+    assert not os.path.exists(lock_path(store))       # released
+    assert not [f for f in os.listdir(store)          # no in-dir debris
+                if f.endswith(".writer.lock")]
+    s, n = incremental_signatures(_pages(corpus), store)
+    assert n == 0                                     # still warm
