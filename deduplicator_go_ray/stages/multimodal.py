@@ -19,6 +19,36 @@ These stages are genuinely stateful (a real decoder loads codec tables /
 model weights), so unlike the light text kernels they default to ACTOR
 POOLS: state built once per actor in ``__init__``, vectorized work per
 ``__call__``.
+
+Plugging in a NATIVE decoder (the production path — the stdlib codecs
+cap at ~MB/s per core and exist as correctness oracles, not as the
+way to decode a petabyte of JPEG):
+
+    def my_decoder_factory():
+        # runs ONCE PER ACTOR, on the worker — import the native lib
+        # and load any model weights here, not on the driver
+        import pillow_or_turbojpeg as lib          # not in this env
+        model = load_embedder()
+        def decode(payload: bytes) -> np.ndarray:  # float32[out_dim]
+            img = lib.decode(payload)
+            return model.embed(img)
+        return decode
+
+    ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={
+            "decoder": ("turbojpeg-clip", my_decoder_factory)},
+        concurrency=(2, 8), batch_size=32, batch_format="pyarrow")
+
+The ``(name, factory)`` tuple is the same slot contract as the text
+extractor (``stages/extract.py``) and the textqc model slots: the
+factory is cloudpickled to the actor, built once in ``__init__``, and
+per-payload failures still surface as in-band DECODE_ERROR rows.  Keep
+the stdlib/``deterministic_fake`` decoders as differential twins in
+tests: run both over a small sample and compare the downstream
+contract (shapes, dtypes, dup-pair stability), which is exactly what
+``tests/test_multimodal.py::test_user_injected_decoder_factory`` does
+with a stub native decoder.
 """
 
 from __future__ import annotations
@@ -77,9 +107,17 @@ class MediaFeatureStage:
     and batch × concurrency must fit the worker heap (SURVEY.md §4).
     """
 
-    def __init__(self, decoder: str = "deterministic_fake",
+    def __init__(self, decoder="deterministic_fake",
                  out_dim: int = FEATURE_DIM) -> None:
-        if decoder == "real":
+        self._user_decode = None
+        if isinstance(decoder, tuple):
+            # user-injected native decoder: (name, factory), factory()
+            # built ONCE PER ACTOR here (module docstring has the
+            # worked example; VERDICT r4 next #6)
+            name, factory = decoder
+            self._user_decode = factory()
+            decoder = f"user:{name}"
+        elif decoder == "real":
             # real pixel decode: grid dim must square to out_dim
             grid = int(round(out_dim ** 0.5))
             if grid * grid != out_dim:
@@ -92,6 +130,9 @@ class MediaFeatureStage:
         self.out_dim = out_dim
 
     def _decode_one(self, p: bytes) -> np.ndarray:
+        if self._user_decode is not None:
+            return np.asarray(self._user_decode(p),
+                              dtype=np.float32).reshape(self.out_dim)
         if self.decoder == "real":
             if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 from ..functions.audio import (decode_wav,
@@ -152,8 +193,17 @@ class FrameSampleStage:
     """
 
     def __init__(self, n_frames: int = 4, out_dim: int = FEATURE_DIM,
-                 decoder: str = "deterministic_fake") -> None:
-        if decoder == "real":
+                 decoder="deterministic_fake") -> None:
+        self._user_sample = None
+        if isinstance(decoder, tuple):
+            # user-injected native frame sampler: (name, factory);
+            # factory() → ``payload -> (offsets_ms, [float32[out_dim]])``,
+            # built once per actor (same slot contract as
+            # MediaFeatureStage — module docstring)
+            name, factory = decoder
+            self._user_sample = factory()
+            decoder = f"user:{name}"
+        elif decoder == "real":
             grid = int(round(out_dim ** 0.5))
             if grid * grid != out_dim:
                 raise ValueError(
@@ -187,19 +237,23 @@ class FrameSampleStage:
             if not payload:
                 continue
             n = max(1, self.n_frames)
-            if self.decoder == "real":
+            if self._user_sample is not None or self.decoder == "real":
                 try:
-                    offs, fs = self._sample_real(payload)
+                    offs, fs = (self._user_sample(payload)
+                                if self._user_sample is not None
+                                else self._sample_real(payload))
                 except Exception:
                     ids.append(mid)
                     fidx.append(-1)
                     feats.append(np.zeros(self.out_dim, np.float32))
                     errs.append("DECODE_ERROR")
                     continue
-                ids.extend([mid] * n)
-                fidx.extend(offs)
+                fs = [np.asarray(f, dtype=np.float32).reshape(self.out_dim)
+                      for f in fs]
+                ids.extend([mid] * len(offs))
+                fidx.extend(int(o) for o in offs)
                 feats.extend(fs)
-                errs.extend([None] * n)
+                errs.extend([None] * len(offs))
                 continue
             for k in range(n):
                 # deterministic frame offsets across the duration
@@ -228,7 +282,7 @@ def media_dedup_by_feature(
     method: str = "lsh",
     n_planes: int = 8,
     n_tables: int = 12,
-    decoder: str = "deterministic_fake",
+    decoder="deterministic_fake",
 ) -> "ray.data.Dataset":
     """Near-dup media pairs by feature cosine.  Default plan (VERDICT r1
     #6/#9, now bucketed): decode on an actor pool, then random-hyperplane

@@ -33,11 +33,11 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data
 
 from ..functions.hashing import hash64_str
 from ..stages.common import grouped_apply
+from .statefs import as_state_path
 
 PART_SEED = 7  # must match pipelines.dedup lineage hashing
 
@@ -52,15 +52,13 @@ def add_partition_id(ds: "ray.data.Dataset", num_partitions: int,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def done_partitions(out_dir: str) -> set[int]:
-    """Partition ids whose final output file exists (atomic renames only)."""
-    if not os.path.isdir(out_dir):
-        return set()
-    done = set()
-    for name in os.listdir(out_dir):
-        if name.startswith("part-") and name.endswith(".parquet"):
-            done.add(int(name[5:-8]))
-    return done
+def done_partitions(out_dir) -> set[int]:
+    """Partition ids whose output file is COMMITTED under the
+    directory's protocol (statefs: atomic rename on local/shared-POSIX
+    filesystems, ``.ok`` marker objects on object stores)."""
+    sp = as_state_path(out_dir)
+    return {int(n[5:-8]) for n in sp.committed_names()
+            if n.startswith("part-")}
 
 
 def checkpointed_write(
@@ -89,12 +87,23 @@ def checkpointed_write(
     """
     from .fence import WriteFence
 
-    if not fence:
+    sp = as_state_path(out_dir)
+    if not fence or sp.local() is None:
+        # no fencing primitive on object stores (statefs docstring has
+        # the trade; single-writer is by deployment convention there)
+        if fence and sp.local() is None:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint dir {sp.raw!r} is not on a local/shared-"
+                "POSIX filesystem: the write fence cannot operate — "
+                "ensure ONE writer per store by deployment convention",
+                stacklevel=2)
         return _checkpointed_write_fenced(
-            ds, out_dir, num_partitions, stage, url_col, fail_after)
-    with WriteFence(out_dir):
+            ds, sp, num_partitions, stage, url_col, fail_after)
+    with WriteFence(sp.local()):
         return _checkpointed_write_fenced(
-            ds, out_dir, num_partitions, stage, url_col, fail_after)
+            ds, sp, num_partitions, stage, url_col, fail_after)
 
 
 def _checkpointed_write_fenced(
@@ -105,18 +114,17 @@ def _checkpointed_write_fenced(
     url_col: str = "url",
     fail_after: int | None = None,
 ) -> pd.DataFrame:
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = as_state_path(out_dir)
+    out_dir.makedirs()
     # sweep tmp orphans from a crashed prior run: their partition was
     # never renamed, so it is NOT in the done set and will be rewritten
     # this run — a stale tmp is pure garbage (and, were it not
     # dot-hidden, read_parquet over the dir would ingest it as
-    # duplicate rows)
-    for name in os.listdir(out_dir):
+    # duplicate rows).  Marker-protocol stores have no tmps (data
+    # objects are overwritten in place; uncommitted ones are invisible)
+    for name in out_dir.listdir():
         if ".tmp." in name:
-            try:
-                os.remove(os.path.join(out_dir, name))
-            except OSError:
-                pass
+            out_dir.join(name).remove()
     done = done_partitions(out_dir)
     with_pid = (ds if "partition_id" in (ds.schema().names or [])
                 else add_partition_id(ds, num_partitions, url_col))
@@ -141,13 +149,7 @@ def _checkpointed_write_fenced(
                 if n_before >= fail_after:
                     raise RuntimeError(f"injected failure after {fail_after} partitions")
             g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
-            final = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-            # dot-prefixed tmp: hidden from done_partitions AND from
-            # parquet dataset discovery (ignore_prefixes ['.', '_']),
-            # so a crash-orphaned tmp can never surface as duplicate
-            # rows in read_checkpoint
-            tmp = os.path.join(
-                out_dir, f".part-{pid:05d}.tmp.{os.getpid()}")
+            final = out_dir.join(f"part-{pid:05d}.parquet")
             tbl = pa.Table.from_pandas(g, preserve_index=False)
             # an all-None column infers as null type, which poisons the
             # multi-file dataset schema — pin such columns to string
@@ -155,8 +157,11 @@ def _checkpointed_write_fenced(
                 if pa.types.is_null(f_.type):
                     tbl = tbl.set_column(
                         i, f_.name, tbl.column(i).cast(pa.string()))
-            pq.write_table(tbl, tmp, row_group_size=65536)
-            os.replace(tmp, final)  # atomic: exists == complete
+            # all-or-nothing commit under the directory protocol:
+            # dot-prefixed tmp + atomic rename (exists == complete) on
+            # local/shared-POSIX, data PUT + .ok marker on object
+            # stores (statefs.commit_table)
+            final.commit_table(tbl)
             errors = int(g["error"].notna().sum()) if "error" in g.columns else 0
             frames.append(pd.DataFrame({
                 "partition_id": [pid], "stage": [stage],
@@ -179,8 +184,18 @@ def _checkpointed_write_fenced(
     return metrics
 
 
-def read_checkpoint(out_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(out_dir)
+def read_checkpoint(out_dir) -> "ray.data.Dataset":
+    sp = as_state_path(out_dir)
+    if sp.atomic_rename:
+        # rename protocol: every visible parquet file is committed —
+        # one directory discovery (dot/underscore tmps are hidden)
+        return ray.data.read_parquet(sp.rel, filesystem=sp.fs)
+    # marker protocol: an uncommitted data object from a crashed
+    # writer LOOKS complete (PUTs are atomic per object), so read the
+    # committed list explicitly, never the directory
+    names = sp.committed_names()
+    return ray.data.read_parquet([sp.join(n).rel for n in names],
+                                 filesystem=sp.fs)
 
 
 def incremental_hash(
@@ -213,15 +228,13 @@ def incremental_hash(
 
     Returns the metrics frame for the partitions (re)written.
     """
-    import shutil
-
     from ..stages.buckets import uid_of_urls
     from ..stages.exact import add_content_key
     from ..stages.extract import ExtractStage
 
-    hashed_dir = os.path.join(out_dir, "hashed")
-    if force and os.path.isdir(hashed_dir):
-        shutil.rmtree(hashed_dir)
+    hashed_dir = as_state_path(out_dir).join("hashed")
+    if force and hashed_dir.isdir():
+        hashed_dir.rmtree()
 
     now = _now if _now is not None else time.time()
     cutoff = (now - renew_older_than) if renew_older_than is not None else None
@@ -233,8 +246,8 @@ def incremental_hash(
     # the rep-uid broadcast; uid-collision bound documented at
     # buckets.uid_of_urls)
     done_uid_sorted = np.empty(0, np.int64)
-    if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
-        existing = ray.data.read_parquet(hashed_dir)
+    if hashed_dir.isdir() and done_partitions(hashed_dir):
+        existing = read_checkpoint(hashed_dir)
         have_stamp = "processed_at" in (existing.schema().names or [])
         cols = ["url", "error"] + (["processed_at"] if have_stamp else [])
         uid_chunks = []
@@ -290,8 +303,8 @@ def incremental_hash(
             batch_size=65536, batch_format="pyarrow"):
         affected.update(np.asarray(b["partition_id"], dtype=np.int64).tolist())
     merged = with_pid
-    if os.path.isdir(hashed_dir) and done_partitions(hashed_dir):
-        old = ray.data.read_parquet(hashed_dir)
+    if hashed_dir.isdir() and done_partitions(hashed_dir):
+        old = read_checkpoint(hashed_dir)
         # one rule covers retry/renew/new alike: an old row survives the
         # rewrite of its partition iff it was counted done (skipped);
         # done_uid_sorted from the scan above is exactly that set
@@ -314,12 +327,12 @@ def incremental_hash(
         # stale-partition delete + rewrite under ONE fence hold: a
         # second writer observing the gap would resurrect deleted rows
         from .fence import WriteFence
+        from contextlib import nullcontext
 
-        with WriteFence(hashed_dir):
+        lp = hashed_dir.local()
+        with (WriteFence(lp) if lp is not None else nullcontext()):
             for pid in affected:
-                p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
-                if os.path.exists(p):
-                    os.remove(p)
+                hashed_dir.join(f"part-{pid:05d}.parquet").uncommit()
             return checkpointed_write(merged, hashed_dir, num_partitions,
                                       stage="incremental_hash", fence=False)
     return checkpointed_write(merged, hashed_dir, num_partitions,
@@ -344,8 +357,8 @@ def prune_checkpoint(
     from ..stages.buckets import uid_of_urls
     from ..stages.lsh import block_refs_of
 
-    hashed_dir = os.path.join(out_dir, "hashed")
-    if not os.path.isdir(hashed_dir) or not done_partitions(hashed_dir):
+    hashed_dir = as_state_path(out_dir).join("hashed")
+    if not hashed_dir.isdir() or not done_partitions(hashed_dir):
         return pd.DataFrame()
 
     def to_uids(t: pa.Table) -> pa.Table:
@@ -354,7 +367,7 @@ def prune_checkpoint(
     live = pages.map_batches(to_uids, batch_format="pyarrow").materialize()
     refs = tuple(block_refs_of(live))
 
-    existing = ray.data.read_parquet(hashed_dir)
+    existing = read_checkpoint(hashed_dir)
 
     def live_sorted():
         # per-worker cache keyed by the block refs (shared with the
@@ -405,13 +418,14 @@ def prune_checkpoint(
         keep_affected_live, batch_format="pyarrow").materialize()
     # delete + rewrite under one fence hold (same rule as
     # incremental_hash): no second writer may see the gap
+    from contextlib import nullcontext
+
     from .fence import WriteFence
 
-    with WriteFence(hashed_dir):
+    lp = hashed_dir.local()
+    with (WriteFence(lp) if lp is not None else nullcontext()):
         for pid in affected_arr.tolist():
-            p = os.path.join(hashed_dir, f"part-{pid:05d}.parquet")
-            if os.path.exists(p):
-                os.remove(p)
+            hashed_dir.join(f"part-{pid:05d}.parquet").uncommit()
         return checkpointed_write(survivors, hashed_dir, num_partitions,
                                   stage="prune", url_col=url_col,
                                   fence=False)
@@ -443,9 +457,10 @@ def run_dedup_checkpointed(
     from ..stages.extract import ExtractStage
 
     cfg = cfg or PipelineConfig()
-    hashed_dir = os.path.join(out_dir, "hashed")
-    assign_dir = os.path.join(out_dir, "assignments")
-    metrics_dir = os.path.join(out_dir, "metrics")
+    root = as_state_path(out_dir)
+    hashed_dir = root.join("hashed")
+    assign_dir = root.join("assignments")
+    metrics_dir = root.join("metrics")
 
     # ---- stage A: per-row extract+hash, checkpointed ----------------------
     extracted = pages.map_batches(
@@ -471,10 +486,10 @@ def run_dedup_checkpointed(
                             stage="assignments")
 
     # ---- metrics ----------------------------------------------------------
-    os.makedirs(metrics_dir, exist_ok=True)
+    metrics_dir.makedirs()
     metrics = pd.concat([m1, m2], ignore_index=True)
     if len(metrics):
-        pq.write_table(
-            pa.Table.from_pandas(metrics, preserve_index=False),
-            os.path.join(metrics_dir, f"run-{int(max(os.getpid(), 1))}-{len(metrics)}.parquet"))
+        metrics_dir.join(
+            f"run-{int(max(os.getpid(), 1))}-{len(metrics)}.parquet"
+        ).commit_table(pa.Table.from_pandas(metrics, preserve_index=False))
     return read_checkpoint(assign_dir)

@@ -60,7 +60,23 @@ LOCK_SUFFIX = ".writer.lock"
 
 def lock_path(state_dir: str) -> str:
     """Sentinel path for ``state_dir``: a dot-prefixed sibling, e.g.
-    ``/x/store`` → ``/x/.store.writer.lock``."""
+    ``/x/store`` → ``/x/.store.writer.lock``.  ``file://`` URIs
+    resolve to their local path; other schemes (object stores) have no
+    exclusive-create/CAS primitive through pyarrow.fs and fail fast —
+    fence those deployments with a store-specific conditional PUT
+    (e.g. S3 If-None-Match) or an external lock service, or put the
+    state dir on a shared POSIX mount (statefs docstring)."""
+    if "://" in state_dir:
+        from .statefs import StatePath
+
+        lp = StatePath(state_dir).local()
+        if lp is None:
+            raise NotImplementedError(
+                f"write fence needs a local/shared-POSIX path, got "
+                f"{state_dir!r}: object stores expose no atomic "
+                "exclusive-create via pyarrow.fs — use a conditional-"
+                "PUT lock or a shared POSIX mount for the state dir")
+        state_dir = lp
     norm = os.path.normpath(state_dir)
     parent, base = os.path.split(norm)
     return os.path.join(parent or ".", f".{base}{LOCK_SUFFIX}")
@@ -97,8 +113,12 @@ class WriteFence:
 
     def __init__(self, state_dir: str, owner: str | None = None,
                  stale_after: float = 120.0) -> None:
+        self.path = lock_path(state_dir)      # resolves file:// URIs,
+        if "://" in state_dir:                # rejects object stores
+            from .statefs import StatePath
+
+            state_dir = StatePath(state_dir).local()
         self.state_dir = state_dir
-        self.path = lock_path(state_dir)
         self.owner = owner or f"{socket.gethostname()}:{os.getpid()}"
         self.stale_after = float(stale_after)
         self._fd: int | None = None

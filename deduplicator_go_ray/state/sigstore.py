@@ -39,6 +39,7 @@ import ray
 import ray.data
 
 from ..config import MinHashConfig
+from .statefs import as_state_path
 
 SIG_COLS = ("minhash", "simhash", "n_shingles", "anchors", "sig_error")
 
@@ -90,10 +91,10 @@ def sig_config_version(sig_kwargs: dict | None = None) -> int:
     return int(hash64_str([payload]).view(np.int64)[0])
 
 
-def _store_files(store_dir: str) -> list[str]:
-    if not os.path.isdir(store_dir):
-        return []
-    return [f for f in os.listdir(store_dir) if f.endswith(".parquet")]
+def _store_files(store_dir) -> list[str]:
+    sp = as_state_path(store_dir)
+    return [f for f in sp.listdir()
+            if f.endswith(".parquet") and not f.startswith((".", "_"))]
 
 
 def _check_meta(store_dir: str, num_perms: int, anchors: bool) -> None:
@@ -102,11 +103,10 @@ def _check_meta(store_dir: str, num_perms: int, anchors: bool) -> None:
     run must fail fast instead of silently mixing signature widths."""
     import json
 
-    path = os.path.join(store_dir, _META_FILE)
-    if not os.path.exists(path):
+    path = as_state_path(store_dir).join(_META_FILE)
+    if not path.isfile():
         return
-    with open(path) as f:
-        meta = json.load(f)
+    meta = json.loads(path.read_bytes().decode())
     if (meta.get("num_perms") != num_perms
             or bool(meta.get("anchors")) != bool(anchors)):
         raise ValueError(
@@ -118,16 +118,17 @@ def _check_meta(store_dir: str, num_perms: int, anchors: bool) -> None:
 def _write_meta(store_dir: str, num_perms: int, anchors: bool) -> None:
     import json
 
-    path = os.path.join(store_dir, _META_FILE)
-    if not os.path.exists(path):
-        os.makedirs(store_dir, exist_ok=True)
-        with open(path, "w") as f:
-            json.dump({"num_perms": num_perms, "anchors": bool(anchors)}, f)
+    sp = as_state_path(store_dir)
+    path = sp.join(_META_FILE)
+    if not path.isfile():
+        sp.makedirs()
+        path.write_bytes_atomic(json.dumps(
+            {"num_perms": num_perms, "anchors": bool(anchors)}).encode())
 
 
-def _store_nbytes(store_dir: str) -> int:
-    return sum(os.path.getsize(os.path.join(store_dir, f))
-               for f in _store_files(store_dir))
+def _store_nbytes(store_dir) -> int:
+    sp = as_state_path(store_dir)
+    return sum(sp.join(f).size() for f in _store_files(store_dir))
 
 
 def _bin_from(flat_bytes: bytes, offsets: np.ndarray) -> pa.Array:
@@ -290,7 +291,23 @@ def incremental_signatures(
     ``fence_wait=True``) instead of corrupting the store."""
     from .fence import WriteFence
 
-    fence = WriteFence(store_dir).acquire(wait=fence_wait)
+    sp = as_state_path(store_dir)
+    if sp.local() is None:
+        # no fencing primitive on object stores (statefs docstring);
+        # single-writer is by deployment convention there
+        import warnings
+
+        warnings.warn(
+            f"signature store {sp.raw!r} is not on a local/shared-POSIX "
+            "filesystem: the write fence cannot operate — ensure ONE "
+            "writer per store by deployment convention", stacklevel=2)
+        return _incremental_signatures_impl(
+            reps, store_dir, num_partitions=num_partitions,
+            compute_anchors=compute_anchors, sig_kwargs=sig_kwargs,
+            passthrough=passthrough,
+            broadcast_max_bytes=broadcast_max_bytes,
+            batch_size=batch_size)
+    fence = WriteFence(sp.local()).acquire(wait=fence_wait)
     try:
         return _incremental_signatures_impl(
             reps, store_dir, num_partitions=num_partitions,
@@ -361,13 +378,15 @@ def _incremental_signatures_impl(
         # inference could miss sig_version depending on file-listing
         # order and silently skip the version filter, reusing
         # signatures computed under a different config.
+        sp = as_state_path(store_dir)
         versioned, legacy = [], []
         names = None
         for f in _store_files(store_dir):
-            p = os.path.join(store_dir, f)
-            fnames = pq.ParquetFile(p).schema_arrow.names
+            fp = sp.join(f)
+            with sp.fs.open_input_file(fp.rel) as fh:
+                fnames = pq.ParquetFile(fh).schema_arrow.names
             names = names or fnames
-            (versioned if "sig_version" in fnames else legacy).append(p)
+            (versioned if "sig_version" in fnames else legacy).append(fp.rel)
         has_anchors = "anchors_blob" in (names or [])
         if has_anchors != bool(compute_anchors):
             raise ValueError(
@@ -382,11 +401,11 @@ def _incremental_signatures_impl(
         parts = []
         if versioned:
             parts.append(
-                ray.data.read_parquet(versioned)
+                ray.data.read_parquet(versioned, filesystem=sp.fs)
                 .filter(expr=f"sig_version == {ver}")
                 .drop_columns(["sig_version"]))
         if legacy:
-            parts.append(ray.data.read_parquet(legacy))
+            parts.append(ray.data.read_parquet(legacy, filesystem=sp.fs))
         store = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
         budget = (STORE_BROADCAST_MAX_BYTES if broadcast_max_bytes is None
                   else broadcast_max_bytes)
@@ -409,7 +428,8 @@ def _incremental_signatures_impl(
                  "sig_version",
                  pa.array(np.full(len(t), ver, np.int64), pa.int64())),
              batch_format="pyarrow")
-         .write_parquet(store_dir))
+         .write_parquet(as_state_path(store_dir).rel,
+                        filesystem=as_state_path(store_dir).fs))
 
     if store is not None and fits:
         # direct-refs fused plan: the wire table is materialized once
@@ -560,15 +580,15 @@ def upgrade_signatures(
 
     import pyarrow.parquet as pq
 
+    from contextlib import nullcontext
+
     from .fence import WriteFence
 
-    _fence = WriteFence(store_dir).acquire()
-    try:
+    lp = as_state_path(store_dir).local()
+    with (WriteFence(lp) if lp is not None else nullcontext()):
         return _upgrade_signatures_fenced(
             reps, store_dir, sig_kwargs, num_partitions, compute_anchors,
             passthrough, batch_size)
-    finally:
-        _fence.release()
 
 
 def _upgrade_signatures_fenced(reps, store_dir, sig_kwargs, num_partitions,
@@ -582,30 +602,29 @@ def _upgrade_signatures_fenced(reps, store_dir, sig_kwargs, num_partitions,
     ver = sig_config_version(sig_kwargs)
     num_perms = (sig_kwargs.get("minhash") or MinHashConfig()).num_perms
 
+    sp = as_state_path(store_dir)
     superseded = []
     for f in _store_files(store_dir):
-        path = os.path.join(store_dir, f)
-        pf = pq.ParquetFile(path)
-        if "sig_version" not in pf.schema_arrow.names:
-            superseded.append(path)     # pre-fingerprint store
-            continue
-        # files are version-homogeneous (one persist = one run = one
-        # version); read the tiny version column, not the data
-        fver = pq.read_table(path, columns=["sig_version"])
+        fp = sp.join(f)
+        with sp.fs.open_input_file(fp.rel) as fh:
+            pf = pq.ParquetFile(fh)
+            if "sig_version" not in pf.schema_arrow.names:
+                superseded.append(fp)   # pre-fingerprint store
+                continue
+            # files are version-homogeneous (one persist = one run =
+            # one version); read the tiny version column, not the data
+            fver = pf.read(columns=["sig_version"])
         if len(fver) == 0 or fver["sig_version"][0].as_py() != ver:
-            superseded.append(path)
-    for path in superseded:
-        os.remove(path)
+            superseded.append(fp)
+    for fp in superseded:
+        fp.remove()
 
     # re-pin the meta sidecar to the new config
-    meta_path = os.path.join(store_dir, _META_FILE)
-    if os.path.isdir(store_dir):
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"num_perms": num_perms,
-                       "anchors": bool(sig_kwargs["compute_anchors"]),
-                       "sig_version": ver}, fh)
-        os.replace(tmp, meta_path)
+    if sp.isdir():
+        sp.join(_META_FILE).write_bytes_atomic(json.dumps(
+            {"num_perms": num_perms,
+             "anchors": bool(sig_kwargs["compute_anchors"]),
+             "sig_version": ver}).encode())
 
     # the unfenced impl: the migration already holds the store fence
     sigs, n_computed = _incremental_signatures_impl(
@@ -679,8 +698,9 @@ def near_gate_against_store(
         out["match_key"] = pd.Series([None] * len(out), dtype=object)
         return out[["url", "admitted", "match_key"]]
 
+    _sp = as_state_path(store_dir)
     store = ray.data.read_parquet(
-        [os.path.join(store_dir, f) for f in files])
+        [_sp.join(f).rel for f in files], filesystem=_sp.fs)
 
     def to_sig_rows(t: pa.Table) -> pa.Table:
         dec = decode_sig_columns(t, num_perms=cfg.num_perms)
@@ -733,17 +753,34 @@ def near_gate_against_store(
     return out[["url", "admitted", "match_key"]]
 
 
+def _require_local(store_dir, op: str) -> str:
+    """Resolve to a local path or fail fast: directory-swap rewrites
+    need atomic renames, which object stores do not have."""
+    lp = as_state_path(store_dir).local()
+    if lp is None:
+        raise NotImplementedError(
+            f"{op} needs an atomic directory swap (local/shared-POSIX "
+            f"filesystem); {store_dir!r} is on an object store — "
+            "rebuild into a NEW store prefix and repoint the job "
+            "config instead")
+    return lp
+
+
 def compact_store(store_dir: str, target_files: int = 16) -> int:
     """Rewrite the append-only store as ~``target_files`` parquet files
     (each run of :func:`incremental_signatures` ADDS files, and the
     warm read/combine cost grows with file count).  Atomic per the
     single-writer rule: the new files land in a sibling tmp dir which
     is swapped in with two renames.  Returns the new file count.
-    Holds the store's write fence for the whole rewrite."""
-    import shutil
+    Holds the store's write fence for the whole rewrite.
 
+    Local/shared-POSIX only (the swap needs atomic directory renames):
+    on an object store, rebuild into a NEW store prefix and repoint
+    the job config instead (statefs docstring has the protocol
+    rationale)."""
     from .fence import WriteFence
 
+    store_dir = _require_local(store_dir, "compact_store")
     files = _store_files(store_dir)
     if len(files) <= target_files:
         return len(files)
@@ -781,9 +818,11 @@ def prune_store(store_dir: str,
     that left the corpus would otherwise accumulate forever in the
     append-only store.  Rewrites atomically like :func:`compact_store`
     and holds the store's write fence the same way; returns the number
-    of rows dropped."""
+    of rows dropped.  Local/shared-POSIX only, like
+    :func:`compact_store`."""
     from .fence import WriteFence
 
+    store_dir = _require_local(store_dir, "prune_store")
     if not _store_files(store_dir):
         return 0
     with WriteFence(store_dir):

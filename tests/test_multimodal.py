@@ -677,3 +677,76 @@ def test_png_adaptive_filters_differential():
                + chunk(b"IEND", b""))
         got = decode_png(png)
         assert (got == img).all(), f"color type {color} mismatch"
+
+
+def test_user_injected_decoder_factory(ray_session):
+    """The worked native-decoder example (multimodal module docstring,
+    VERDICT r4 next #6): a user (name, factory) decoder builds ONCE
+    PER ACTOR on the actor pool, its features flow through the stage
+    contract, and per-payload failures still surface as in-band
+    DECODE_ERROR rows.  The stub stands in for a native lib import."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_go_ray.stages.multimodal import (FEATURE_DIM,
+                                                       MediaFeatureStage)
+
+    def native_stub_factory():
+        # "import the native lib / load weights" — once per actor
+        table = np.arange(FEATURE_DIM, dtype=np.float32)
+
+        def decode(payload: bytes) -> np.ndarray:
+            if payload[:3] == b"BAD":
+                raise ValueError("unsupported payload")
+            return table + (payload[0] if payload else 0)
+        return decode
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": [f"m{i}" for i in range(6)],
+        "payload": [b"BAD-bytes" if i == 3 else bytes([i * 10]) * 4
+                    for i in range(6)],
+    }))
+    out = ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={
+            "decoder": ("native-stub", native_stub_factory)},
+        concurrency=2, batch_size=3, batch_format="pyarrow",
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 6
+    assert out.loc[3, "error"] == "DECODE_ERROR"        # in-band failure
+    ok = out[out.error.isna()]
+    assert (ok.features.map(len) == FEATURE_DIM).all()
+    # feature content came from the injected decoder, not the fake
+    f0 = np.asarray(out.loc[0, "features"], dtype=np.float32)
+    assert np.allclose(f0, np.arange(FEATURE_DIM, dtype=np.float32))
+
+
+def test_user_injected_frame_sampler(ray_session):
+    """FrameSampleStage honors the same (name, factory) slot: the user
+    sampler controls frame count and offsets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicator_go_ray.stages.multimodal import (FEATURE_DIM,
+                                                       FrameSampleStage)
+
+    def sampler_factory():
+        def sample(payload: bytes):
+            offs = [0, 500]
+            return offs, [np.full(FEATURE_DIM, float(payload[0]),
+                                  dtype=np.float32) for _ in offs]
+        return sample
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": ["v1", "v2"],
+        "payload": [bytes([7]) * 8, bytes([9]) * 8],
+        "duration_ms": pa.array([1000, 2000], pa.int32()),
+    }))
+    out = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"decoder": ("stub-sampler", sampler_factory)},
+        concurrency=2, batch_size=2, batch_format="pyarrow",
+    ).to_pandas().sort_values(["media_id", "frame_offset_ms"]).reset_index(drop=True)
+    assert len(out) == 4                       # 2 media × 2 frames
+    assert out.frame_offset_ms.tolist() == [0, 500, 0, 500]
+    assert np.allclose(np.asarray(out.loc[0, "features"]), 7.0)
