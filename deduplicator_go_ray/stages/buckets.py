@@ -888,6 +888,35 @@ def _slot_slice_table(blobs: "ray.data.Dataset", P: int,
     return blobs.map_batches(f, batch_format="pyarrow")
 
 
+def _slot_fp_table(blobs: "ray.data.Dataset", P: int,
+                   lo: int, hi: int) -> "ray.data.Dataset":
+    """Like :func:`_slot_slice_table` but emits ONE-BYTE slot
+    fingerprints (each u64 slot's low byte) as binary(hi-lo) — 8×
+    less exchange volume than the slot values.  Fingerprints can only
+    OVER-count matches (equal slots always fingerprint equal), so a
+    match-count upper bound computed on them remains a sound prune
+    bound; survivors are re-scored exactly on full signatures."""
+    w = hi - lo
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"uid": t["uid"],
+                             "value": pa.array([], pa.binary(w))})
+        col = t["value"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.uint64,
+                             count=(arr.offset + n) * P)[arr.offset * P:]
+        fp = (flat.reshape(n, P)[:, lo:hi]
+              & np.uint64(0xFF)).astype(np.uint8)
+        blob = pa.Array.from_buffers(
+            pa.binary(w), n,
+            [None, pa.py_buffer(np.ascontiguousarray(fp).tobytes())])
+        return pa.table({"uid": t["uid"], "value": blob})
+
+    return blobs.map_batches(f, batch_format="pyarrow")
+
+
 def _endpoint_uids_task(refs: tuple, col: str, uid_bits: int):
     """Sorted-unique uids of ONE endpoint column, gathered zero-copy
     from the materialized edge table's block refs.  Runs remotely."""
@@ -1200,47 +1229,61 @@ def verify_near_edges_partitioned(
             blobs_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
             out_type=sig_t, post_fn=score)
 
-    # ---- two-round half-signature plan (the r4 volume cut) ----------------
+    # ---- two-round fingerprint plan (r4 volume cut, r5 fp cut) ------------
     # The second attach used to re-ship every already-attached 1 KiB
     # sig_u — measured 2M docs/16 cpus: 42.6 s of the 60 s verify, the
-    # worst-scaling slice of the flood plan.  Round 1 attaches only the
-    # FIRST half of each signature (P/2 slots) and keeps a pair only if
-    # its half-count m1 could still reach m_min with every second-half
-    # slot equal (m1 ≥ prune_min — a sound bound, so the final edge set
-    # is bit-identical).  Band collisions that aren't near-dups sit far
-    # below the bound, so the second round's exchanges carry only the
-    # few survivors (+ their m1) and the other half of THEIR signatures.
-    half_t = pa.binary(half * 8)
+    # worst-scaling slice of the flood plan.  Round 4 halved that by
+    # shipping only the FIRST half of each signature; round 5 cuts a
+    # further 8× by shipping ONE-BYTE slot FINGERPRINTS (each slot's
+    # low byte) instead of the slot values: equal slots always
+    # fingerprint equal, so the fingerprint match count m1fp can only
+    # OVER-count — a pair is pruned only when even m1fp plus a perfect
+    # second half cannot reach m_min (m1fp ≥ prune_min is a sound
+    # bound; a false fingerprint match merely lets a doomed pair
+    # through to round 2, expected ≈ (half − m_true)/256 extra matches
+    # per pair).  Survivors are re-scored EXACTLY on their full
+    # signatures from a broadcast index, so the final edge set is
+    # bit-identical to single-round exact scoring (equality-tested
+    # against the smallset plan).  Measured 1M docs/16 cpus: round-1
+    # exchange volume ~900 MB → ~150 MB.
+    fp_t = pa.binary(half)
     rest = P - half
-    rest_t = pa.binary(rest * 8)
+    sig_t = pa.binary(P * 8)
+
+    def _fp_matrix(col, n: int, w: int) -> np.ndarray:
+        """(n, w) uint8 view of a fixed_size_binary(w) column."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        if pa.types.is_fixed_size_binary(arr.type):
+            buf = arr.buffers()[1]
+            flat = np.frombuffer(buf, dtype=np.uint8,
+                                 count=(arr.offset + n) * w)[arr.offset * w:]
+            return flat.reshape(n, w)
+        return np.frombuffer(b"".join(arr.to_pylist()),
+                             dtype=np.uint8).reshape(n, w)
 
     def score_half(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
-                             "v": pa.array([], uid_pa_type(uid_bits)),
-                             "kind": pa.array([], pa.int8()),
-                             "m1": pa.array([], pa.int64())})
-        a = _sig_matrix(batch["sig_u"], n, half)
-        bb = _sig_matrix(batch["sig_v"], n, half)
-        m1 = (a == bb).sum(axis=1)
-        keep = m1 >= prune_min
+            return _empty_edges()
+        a = _fp_matrix(batch["sig_u"], n, half)
+        bb = _fp_matrix(batch["sig_v"], n, half)
+        keep = (a == bb).sum(axis=1) >= prune_min
         m = pa.array(keep)
         return pa.table({
             "u": _uid_cast(batch["u"].filter(m), uid_bits),
             "v": _uid_cast(batch["v"].filter(m), uid_bits),
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
-            "m1": pa.array(m1[keep], pa.int64()),
         })
 
-    def score_final(batch: pa.Table) -> pa.Table:
+    def score_full(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
             return _empty_edges()
-        a = _sig_matrix(batch["sig_u"], n, rest)
-        bb = _sig_matrix(batch["sig_v"], n, rest)
-        m1 = np.asarray(batch["m1"], dtype=np.int64)
-        keep = (m1 + (a == bb).sum(axis=1)) >= m_min
+        a = _sig_matrix(batch["sig_u"], n, P)
+        bb = _sig_matrix(batch["sig_v"], n, P)
+        keep = (a == bb).sum(axis=1) >= m_min
         m = pa.array(keep)
         return pa.table({
             "u": _uid_cast(batch["u"].filter(m), uid_bits),
@@ -1248,13 +1291,13 @@ def verify_near_edges_partitioned(
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
-    lo_u = _slot_slice_table(blobs_u, P, 0, half)
-    lo_v = _slot_slice_table(blobs_v, P, 0, half)
+    lo_u = _slot_fp_table(blobs_u, P, 0, half)
+    lo_v = _slot_fp_table(blobs_v, P, 0, half)
     att_u = _attach_payload_partitioned(
         edges, lo_u, "u", "sig_u",
-        num_partitions, int_cols=edge_ints, out_type=half_t,
+        num_partitions, int_cols=edge_ints, out_type=fp_t,
         # the fused emitter surfaces a pair once per shared band/chunk
-        # — drop the copies before any signature is glued on (~2.9×
+        # — drop the copies before any payload is glued on (~2.9×
         # fewer rows through the second exchange)
         dedupe_on=("u", "v"))
     att_u_m, lo_v = _barrier_materialize(att_u, lo_v)
@@ -1262,7 +1305,7 @@ def verify_near_edges_partitioned(
     survivors = _attach_payload_partitioned(
         att_u_m,
         lo_v, "v", "sig_v", num_partitions, int_cols=edge_ints,
-        out_type=half_t, post_fn=score_half).materialize()
+        out_type=fp_t, post_fn=score_half).materialize()
     n_surv = survivors.count()
     if _timing:
         print(f"[note] n_survivors: {n_surv}", flush=True)
@@ -1270,26 +1313,24 @@ def verify_near_edges_partitioned(
     if n_surv == 0:
         return ray.data.from_arrow(_empty_edges())
     # round 2: survivors are the near-dups + a thin borderline band —
-    # orders of magnitude fewer than candidates — so their second-half
+    # orders of magnitude fewer than candidates — so their FULL
     # signatures fit a BROADCAST index: one parallel scan semi-filters
-    # the blob table to survivor endpoints and slices out slots
-    # [half, P); one 1-cpu task combines the (tiny) result into a
-    # sorted plasma index; one map over survivors scores both
-    # endpoints against it.  Zero additional exchanges (the first cut
-    # of round 2 re-used the keyed attaches and measured ~50 s of
-    # exchange machinery to move <200k survivor rows at 2M docs).
-    # Degenerate corpora where most candidates survive fall back to
-    # the keyed attaches via the broadcast cap (index stays bounded).
+    # the blob table to survivor endpoints; one 1-cpu task combines
+    # the (tiny) result into a sorted plasma index; one map over
+    # survivors scores both endpoints exactly against it.  Zero
+    # additional exchanges (the first cut of round 2 re-used the keyed
+    # attaches and measured ~50 s of exchange machinery to move <200k
+    # survivor rows at 2M docs).  Degenerate corpora where most
+    # candidates survive fall back to the keyed attaches via the
+    # broadcast cap (index stays bounded).
     ep2 = endpoint_uid_refs(survivors, uid_bits)
-    if n_surv * 2 * rest * 8 <= 4 * 2**30:     # broadcast cap: 4 GiB
-        hi_all = _slot_slice_table(
-            semi_filter_payload_by_union(blobs, ep2), P, half, P
-        ).materialize()
+    if n_surv * 2 * P * 8 <= 4 * 2**30:        # broadcast cap: 4 GiB
+        hi_all = semi_filter_payload_by_union(blobs, ep2).materialize()
         _sub("round2_payload_scan")
         from .lsh import block_refs_of
 
         build = ray.remote(num_cpus=1)(_combine_uid_value_blocks)
-        idx_ref = build.remote(tuple(block_refs_of(hi_all)), rest)
+        idx_ref = build.remote(tuple(block_refs_of(hi_all)), P)
 
         def score_broadcast(batch: pa.Table) -> pa.Table:
             n = len(batch)
@@ -1301,11 +1342,10 @@ def verify_near_edges_partitioned(
             iv = _searchsorted_indexer(uid_s, uid_np(batch["v"],
                                                      uid_bits))
             ok = (iu >= 0) & (iv >= 0)
-            m1 = np.asarray(batch["m1"], dtype=np.int64)
             m2 = np.zeros(n, np.int64)
             if ok.any():
                 m2[ok] = (mat[iu[ok]] == mat[iv[ok]]).sum(axis=1)
-            keep = ok & ((m1 + m2) >= m_min)
+            keep = ok & (m2 >= m_min)
             m = pa.array(keep)
             return pa.table({
                 "u": _uid_cast(batch["u"].filter(m), uid_bits),
@@ -1318,19 +1358,17 @@ def verify_near_edges_partitioned(
                                      batch_format="pyarrow")
 
     # keyed fallback (degenerate survivor floods): two more attaches
-    surv_ints = dict(edge_ints, m1=pa.int64())
-    hi_u = _slot_slice_table(
-        _filter_payload_by_uid_ref(blobs, ep2[0]), P, half, P)
-    hi_v = _slot_slice_table(
-        _filter_payload_by_uid_ref(blobs, ep2[1]), P, half, P)
+    # carrying the full signatures, scored exactly in the reduce
+    full_u = _filter_payload_by_uid_ref(blobs, ep2[0])
+    full_v = _filter_payload_by_uid_ref(blobs, ep2[1])
     att2 = _attach_payload_partitioned(
-        survivors, hi_u, "u", "sig_u",
-        num_partitions, int_cols=surv_ints, out_type=rest_t)
+        survivors, full_u, "u", "sig_u",
+        num_partitions, int_cols=edge_ints, out_type=sig_t)
     att2_m = att2.materialize()
     _sub("round2_u_attach")
     return _attach_payload_partitioned(
-        att2_m, hi_v, "v", "sig_v", num_partitions,
-        int_cols=surv_ints, out_type=rest_t, post_fn=score_final)
+        att2_m, full_v, "v", "sig_v", num_partitions,
+        int_cols=edge_ints, out_type=sig_t, post_fn=score_full)
 
 
 def _uid_cast(col, uid_bits: int):
