@@ -63,7 +63,8 @@ _LOADED = False
 # modules that self-register on import; the list grows as operator
 # families land — a missing module is fine, a broken one is not.
 _MODULES = ("relational", "dedup_queries", "textqc", "ann_queries", "windows",
-            "parity_queries", "curation", "scrub", "cdc_queries")
+            "parity_queries", "curation", "scrub", "cdc_queries",
+            "sketch_queries")
 
 
 def _ensure_loaded() -> None:
