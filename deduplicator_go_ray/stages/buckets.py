@@ -39,7 +39,8 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import LSHConfig, MinHashConfig, SimHashConfig
-from ..functions.hashing import combine64, hash64_str, mix64
+from ..functions.hashing import (combine64, hash64_str, mix64,
+                                 rolling_hashes_many)
 from .common import _hash_partitions, grouped_apply
 
 KIND_BAND = 0
@@ -1377,22 +1378,85 @@ def _uid_cast(col, uid_bits: int):
                    else col, uid_pa_type(uid_bits))
 
 
+CONT_BLOOM_BITS = 1024        # per-text gram bloom (128 bytes)
+CONT_BLOOM_BYTES = CONT_BLOOM_BITS // 8
+_CONT_GRAM = 16               # bloom gram width (bytes)
+_CONT_PAY_BYTES = CONT_BLOOM_BYTES + 8   # bloom ++ little-endian u64 length
+
+
+def _bloom_len_table(blobs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(uid, value=binary(136)) bloom++length payload from a
+    (uid, value=string) text-blob table: a 1024-bit bloom of every
+    ``_CONT_GRAM``-byte window hash of the utf-8 text, then the utf-8
+    byte length.  SOUND for containment pruning: if utf8(a) occurs in
+    utf8(b) (what ``a in b`` on str implies, utf-8 being
+    substring-preserving), every window hash of a is a window hash of
+    b, so bloom(a) must be a bit-subset of bloom(b) and len(a) ≤
+    len(b) — a pair failing either test is provably not contained.
+    Texts shorter than the gram width yield an empty bloom (prunes
+    nothing — correct)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"uid": t["uid"],
+                             "value": pa.array([], pa.binary(_CONT_PAY_BYTES))})
+        bufs = [(s or "").encode("utf-8") for s in t["value"].to_pylist()]
+        out = np.zeros((n, _CONT_PAY_BYTES), dtype=np.uint8)
+        hs = rolling_hashes_many(bufs, _CONT_GRAM)
+        wlens = np.fromiter((h.size for h in hs), np.int64, n)
+        if int(wlens.sum()):
+            hcat = np.concatenate([h for h in hs if h.size])
+            doc = np.repeat(np.arange(n, dtype=np.int64), wlens)
+            bit = (hcat % np.uint64(CONT_BLOOM_BITS)).astype(np.int64)
+            # exact OR via bincount: dedupe (doc, bit) first so each
+            # bit contributes once — byte sums then never carry
+            uk = np.unique(doc * CONT_BLOOM_BITS + bit)
+            d2, b2 = uk // CONT_BLOOM_BITS, uk % CONT_BLOOM_BITS
+            flat = np.bincount(
+                d2 * CONT_BLOOM_BYTES + (b2 >> 3),
+                weights=(1 << (b2 & 7)).astype(np.float64),
+                minlength=n * CONT_BLOOM_BYTES).astype(np.uint8)
+            out[:, :CONT_BLOOM_BYTES] = flat.reshape(n, CONT_BLOOM_BYTES)
+        lens = np.fromiter((len(b) for b in bufs), np.uint64, n)
+        out[:, CONT_BLOOM_BYTES:] = lens[:, None].view(np.uint8).reshape(n, 8)
+        blob = pa.Array.from_buffers(
+            pa.binary(_CONT_PAY_BYTES), n,
+            [None, pa.py_buffer(np.ascontiguousarray(out).tobytes())])
+        return pa.table({"uid": t["uid"], "value": blob})
+
+    return blobs.map_batches(f, batch_format="pyarrow")
+
+
 def verify_containment_edges_partitioned(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
     num_partitions: int = 128,
     uid_bits: int = 64,
     endpoint_filter: bool = True,
+    survivor_broadcast_max: int = 500_000,
 ) -> "ray.data.Dataset":
-    """Flood fallback for substring verification: texts attach to the
-    candidate pairs through two partitioned joins (texts ship through
-    the packed shuffle once) instead of a broadcast text index.
+    """Flood fallback for substring verification, two rounds (the near
+    twin's r5 shape): round 1 attaches a 136-byte bloom++length digest
+    of each endpoint text through the two partitioned joins and prunes
+    pairs that provably cannot be containments (bit-subset + length
+    tests — sound, see :func:`_bloom_len_table`); round 2 re-checks
+    the few survivors EXACTLY against a broadcast text index
+    (:func:`verify_containment_edges` — one build task, zero-copy
+    probes).  Final edges bit-identical to the direct text attach;
+    round-1 exchange volume drops ~17× at 2.4 KB mean text.
 
     ``endpoint_filter`` as in :func:`verify_near_edges_partitioned` —
     decisive here, because anchor pairs are typically a tiny fraction
     of the corpus while the text table is its biggest column (measured
-    500k docs / 5k anchor pairs: the unfiltered exchange ships 459k
-    texts to verify 5k pairs, 60 s of a 113 s flood verify)."""
+    500k docs / 5k anchor pairs: the unfiltered exchange shipped 459k
+    texts to verify 5k pairs, 60 s of a 113 s flood verify).
+
+    ``survivor_broadcast_max``: above this survivor count (degenerate
+    corpora where most anchor pairs ARE containments) round 2 falls
+    back to attaching the survivors' full texts through the keyed
+    exchanges — same bound the caller's smallset gate applies to the
+    whole candidate set."""
     ep = endpoint_uid_refs(pairs, uid_bits) if endpoint_filter else None
     if endpoint_filter:
         texts = semi_filter_by_endpoint_refs(texts, ep, ["url", "text"])
@@ -1406,7 +1470,7 @@ def verify_containment_edges_partitioned(
     blobs_u = blobs_v = blobs
     if endpoint_filter:
         # both attach passes consume `blobs` — see the near twin; the
-        # role-scoped filters then halve each exchange's text payload
+        # role-scoped filters then halve each exchange's payload
         # (contained-side and container-side endpoints are near-disjoint
         # by construction: 500k docs measured 36.8k u / 40.7k v / 73.4k
         # union anchor endpoints)
@@ -1416,6 +1480,70 @@ def verify_containment_edges_partitioned(
     edge_ints = ({"u": pa.int64(), "v": pa.int64(), "kind": pa.int8()}
                  if uid_bits == 64 else {"kind": pa.int8()})
 
+    def _pay_mats(col, n: int):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        if pa.types.is_fixed_size_binary(arr.type):
+            flat = np.frombuffer(arr.buffers()[1], dtype=np.uint8,
+                                 count=(arr.offset + n) * _CONT_PAY_BYTES
+                                 )[arr.offset * _CONT_PAY_BYTES:]
+        else:   # pandas-merge path (128-bit uids) emits variable binary
+            flat = np.frombuffer(b"".join(arr.to_pylist()), dtype=np.uint8)
+        m = flat.reshape(n, _CONT_PAY_BYTES)
+        return (m[:, :CONT_BLOOM_BYTES],
+                np.ascontiguousarray(m[:, CONT_BLOOM_BYTES:]
+                                     ).view(np.uint64).ravel())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
+                             "v": pa.array([], uid_pa_type(uid_bits)),
+                             "kind": pa.array([], pa.int8())})
+        ba, la = _pay_mats(batch["bl_u"], n)
+        bb, lb = _pay_mats(batch["bl_v"], n)
+        keep = (la <= lb) & ~np.any(ba & ~bb, axis=1)
+        m = pa.array(keep)
+        return pa.table({
+            "u": _uid_cast(batch["u"].filter(m), uid_bits),
+            "v": _uid_cast(batch["v"].filter(m), uid_bits),
+            "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
+        })
+
+    # prune fused into the second attach's reduce, barrier between the
+    # exchanges, v-payload prefetch overlapped with the u-attach —
+    # all as in the near twin (see the rationale there).  The
+    # GRAFT_NO_OVERLAP kill-switch covers this twin too (ADVICE r4 #5:
+    # it used to guard only the near path).
+    bl_u = _bloom_len_table(blobs_u)
+    bl_v = _bloom_len_table(blobs_v)
+    att_u = _attach_payload_partitioned(
+        pairs, bl_u, "u", "bl_u",
+        num_partitions, int_cols=edge_ints,
+        out_type=pa.binary(_CONT_PAY_BYTES))
+    if endpoint_filter and not _os.environ.get("GRAFT_NO_OVERLAP"):
+        att_u_m, bl_v = _overlapped_materialize(att_u, bl_v)
+    else:
+        att_u_m = att_u.materialize()
+    survivors = _attach_payload_partitioned(
+        att_u_m,
+        bl_v, "v", "bl_v", num_partitions, int_cols=edge_ints,
+        out_type=pa.binary(_CONT_PAY_BYTES), post_fn=prune).materialize()
+    n_surv = survivors.count()
+    if n_surv == 0:
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], uid_pa_type(uid_bits)),
+            "v": pa.array([], uid_pa_type(uid_bits)),
+            "kind": pa.array([], pa.int8())}))
+    if n_surv <= survivor_broadcast_max:
+        # round 2: exact check against the broadcast text index —
+        # `texts` here is already endpoint-semi-filtered when the
+        # filter is on; the smallset verifier re-filters to SURVIVOR
+        # endpoints before materializing its index
+        return verify_containment_edges(survivors, texts)
+
+    # degenerate survivor flood: full texts through the keyed attaches
     def check(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table({"u": pa.array([], uid_pa_type(uid_bits)),
@@ -1431,21 +1559,16 @@ def verify_containment_edges_partitioned(
             "kind": batch["kind"].filter(m).combine_chunks().cast(pa.int8()),
         })
 
-    # check fused into the second attach's reduce, barrier between the
-    # exchanges, v-payload prefetch overlapped with the u-attach —
-    # all as in the near twin (see the rationale there).  The
-    # GRAFT_NO_OVERLAP kill-switch covers this twin too (ADVICE r4 #5:
-    # it used to guard only the near path).
-    att_u = _attach_payload_partitioned(
-        pairs, blobs_u, "u", "text_u",
+    ep2 = endpoint_uid_refs(survivors, uid_bits)
+    t_u = _filter_payload_by_uid_ref(blobs, ep2[0])
+    t_v = _filter_payload_by_uid_ref(blobs, ep2[1])
+    att2 = _attach_payload_partitioned(
+        survivors, t_u, "u", "text_u",
         num_partitions, int_cols=edge_ints, out_type=pa.string())
-    if endpoint_filter and not _os.environ.get("GRAFT_NO_OVERLAP"):
-        att_u_m, blobs_v = _overlapped_materialize(att_u, blobs_v)
-    else:
-        att_u_m = att_u.materialize()
+    att2_m = att2.materialize()
     return _attach_payload_partitioned(
-        att_u_m,
-        blobs_v, "v", "text_v", num_partitions, int_cols=edge_ints,
+        att2_m,
+        t_v, "v", "text_v", num_partitions, int_cols=edge_ints,
         out_type=pa.string(), post_fn=check)
 
 
