@@ -40,6 +40,12 @@ _DEMOTE = (
     "keep_first", "savings", "topk_groups", "dup_members",
     "delete_plan", "prune_dead", "mirror_conflicts", "import_plan",
     "char_classes", "stopword_stats",
+    # r5: demoted so the new code-heavy families (CDC chunk dedup,
+    # count-min heavy hitters) sit inside the driver's 50-cap — the
+    # exhaustive-probe ANN REDUCTIONS are near-twins of the ann_ivf /
+    # ann_lsh oracles that stay in the sample, and source_stats is a
+    # single grouped count
+    "ann_ivf_exhaustive", "ann_lsh_exhaustive", "source_stats",
 )
 
 
