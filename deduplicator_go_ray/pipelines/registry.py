@@ -46,6 +46,7 @@ _DEMOTE = (
     # ann_lsh oracles that stay in the sample, and source_stats is a
     # single grouped count
     "ann_ivf_exhaustive", "ann_lsh_exhaustive", "source_stats",
+    "mirror_missing",
 )
 
 

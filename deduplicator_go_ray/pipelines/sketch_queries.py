@@ -38,7 +38,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..functions.hashing import mix64
+from ..functions.hashing import mix64, rolling_hashes_many
 from ..functions.sqlgen import GOLDEN, U64_MOD, crc32_list_sql, mix64_ctes
 from .registry import register
 
@@ -212,3 +212,128 @@ def _cms_oracle_sql() -> str:
 
 
 register("cms_heavy_hitters", cms_heavy_hitters, _cms_oracle_sql())
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-shingle cardinality per language (Flajolet et al.
+# 2007) — the companion mergeable sketch: CMS answers "how often",
+# HLL answers "how many distinct" without ever shuffling the universe.
+# Registers merge by elementwise max, so each batch emits ≤ langs·m
+# (lang, register, max-rank) partials and ONE tiny groupby-max merges
+# the corpus; the universe here is the engine's own 9-byte shingle
+# hashes (functions/hashing.py:rolling_hashes — the exact kernel the
+# MinHash oracle already re-derives in SQL), sized so the RAW
+# estimator is in its accurate regime (n ≫ 2.5·m; the small-range
+# linear-counting correction needs ln(), whose libm results are not
+# bit-portable between numpy and DuckDB — documented trade: this is
+# the raw estimator, deterministic and oracle-equal by construction).
+# --------------------------------------------------------------------------
+
+HLL_B = 10
+HLL_M = 1 << HLL_B            # 1024 registers
+_REST_BITS = 64 - HLL_B       # hash bits feeding the rank
+_MAXRANK = _REST_BITS + 1
+# alpha_m · m² · 2^MAXRANK — ONE shared float constant, embedded in the
+# SQL as its repr so both sides divide identical doubles
+_HLL_C = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << _MAXRANK)
+SHINGLE_K = 9                 # ≙ the MinHash shingle width
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length (float log2 rounds at 2^53+)."""
+    bl = np.zeros(x.size, np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    return bl + (v > 0)
+
+
+def hll_distinct_shingles(sf_dir: str) -> pd.DataFrame:
+    """Per language: total 9-byte shingle windows and the HLL estimate
+    of how many DISTINCT shingles the language's text contains — the
+    dedup-planning cardinality (a low distinct/total ratio predicts a
+    high dedup yield) at sketch cost."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bufs = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        hs = rolling_hashes_many(bufs, SHINGLE_K)
+        wlens = np.fromiter((h.size for h in hs), np.int64, len(bufs))
+        langs = np.repeat(np.asarray(t["lang"].to_pylist(), object), wlens)
+        if not langs.size:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "j": pa.array([], pa.int64()),
+                             "mr": pa.array([], pa.int64()),
+                             "nw": pa.array([], pa.int64())})
+        h = np.concatenate([x for x in hs if x.size])
+        j = (h >> np.uint64(_REST_BITS)).astype(np.int64)
+        rest = h & np.uint64((1 << _REST_BITS) - 1)
+        rank = _MAXRANK - _bit_length_u64(rest)
+        df = pd.DataFrame({"lang": langs, "j": j, "rank": rank})
+        g = df.groupby(["lang", "j"], sort=False)["rank"].max().reset_index()
+        nw = df.groupby("lang", sort=False).size()
+        # window counts ride register j = -1 (no register collision)
+        cnt = pd.DataFrame({"lang": nw.index, "j": -1, "rank": 0,
+                            "nw": nw.to_numpy()})
+        g["nw"] = 0
+        allrows = pd.concat([g.rename(columns={"rank": "mr"}),
+                             cnt.rename(columns={"rank": "mr"})])
+        return pa.table({
+            "lang": pa.array(allrows["lang"], pa.string()),
+            "j": pa.array(allrows["j"].to_numpy(np.int64), pa.int64()),
+            "mr": pa.array(allrows["mr"].to_numpy(np.int64), pa.int64()),
+            "nw": pa.array(allrows["nw"].to_numpy(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Max
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"])
+    merged = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "j"])
+              .aggregate(Max("mr", alias_name="mr"),
+                         Sum("nw", alias_name="nw"))
+              .to_pandas())                 # ≤ langs·(m+1) rows
+    out = []
+    for lang, grp in merged.groupby("lang", sort=True):
+        regs = grp[grp["j"] >= 0]
+        n_windows = int(grp.loc[grp["j"] < 0, "nw"].sum())
+        s = sum(1 << (_MAXRANK - int(m)) for m in regs["mr"])
+        s += (HLL_M - len(regs)) * (1 << _MAXRANK)
+        out.append((lang, n_windows, _HLL_C / float(s)))
+    return pd.DataFrame(out, columns=["lang", "n_windows", "distinct_est"])
+
+
+def _hll_oracle_sql() -> str:
+    from ..functions.sqlgen import bytes_cte, pow_list_sql, roll_poly_cte
+    pow2 = pow_list_sql(2, _MAXRANK + 1)
+    return f"""
+    WITH {bytes_cte('documents', 'text', 'doc_id')},
+    {roll_poly_cte('rollp', 'doc_id', SHINGLE_K)},
+    {mix64_ctes('rh', 'rollp', 'doc_id, w', 'poly')},
+    jr AS (
+        SELECT d.lang, rh5.x >> {_REST_BITS} AS j,
+               CASE WHEN rh5.x % {1 << _REST_BITS} = 0 THEN {_MAXRANK}
+                    ELSE {_MAXRANK}
+                         - length(ltrim(bin(rh5.x % {1 << _REST_BITS}), '0'))
+               END AS rank
+        FROM rh5 JOIN documents d USING (doc_id)
+    ),
+    nwin AS (SELECT lang, count(*) AS n_windows FROM jr GROUP BY lang),
+    regs AS (SELECT lang, j, max(rank) AS mr FROM jr GROUP BY lang, j),
+    ssum AS (
+        SELECT lang,
+               sum(({pow2})[({_MAXRANK} - mr) + 1]) AS s_used,
+               count(*) AS n_used
+        FROM regs GROUP BY lang)
+    SELECT n.lang, n.n_windows,
+           {_HLL_C!r} / CAST(s.s_used
+               + ({HLL_M} - s.n_used) * {1 << _MAXRANK}::HUGEINT AS DOUBLE)
+               AS distinct_est
+    FROM nwin n JOIN ssum s USING (lang)
+    ORDER BY lang
+    """
+
+
+register("hll_distinct_shingles", hll_distinct_shingles, _hll_oracle_sql())

@@ -62,6 +62,36 @@ def test_heavy_hitters_cover_all_true_hitters(ray_session):
     assert key == sorted(key)
 
 
+def test_hll_estimates_within_error_bound(ray_session):
+    """Raw-regime accuracy: the HLL estimate per lang lands within the
+    ~1.04/sqrt(m) relative-error envelope (3 sigma) of the exact
+    distinct-shingle count."""
+    from deduplicator_go_ray.functions.hashing import rolling_hashes_many
+    from deduplicator_go_ray.pipelines.sketch_queries import (
+        HLL_M, SHINGLE_K, hll_distinct_shingles)
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table(SF + "/documents.parquet", columns=["text", "lang"])
+    bufs = [s.encode("utf-8") for s in docs["text"].to_pylist()]
+    hs = rolling_hashes_many(bufs, SHINGLE_K)
+    exact: dict[str, set] = {}
+    for lang, h in zip(docs["lang"].to_pylist(), hs):
+        exact.setdefault(lang, set()).update(h.tolist())
+    est = hll_distinct_shingles(SF)
+    tol = 3 * 1.04 / np.sqrt(HLL_M)
+    for lang, _, e in est.itertuples(index=False):
+        true = len(exact[lang])
+        assert abs(e - true) / true < tol, (lang, e, true)
+        assert true > 2.5 * HLL_M  # raw-estimator regime, no correction
+
+
+def test_hll_bit_length_exact():
+    from deduplicator_go_ray.pipelines.sketch_queries import _bit_length_u64
+    xs = np.array([0, 1, 2, 3, (1 << 53) - 1, 1 << 53, (1 << 54) - 1,
+                   (1 << 54), (2**54) - 1], dtype=np.uint64)
+    assert _bit_length_u64(xs).tolist() == [int(x).bit_length() for x in xs]
+
+
 def test_grid_merge_is_additive():
     """Partial grids merge by addition — the mergeability the map-side
     combine relies on: grid(A ∪ B) == grid(A) + grid(B)."""
